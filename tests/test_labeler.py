@@ -1,0 +1,68 @@
+"""Tests for the rule-based NER labeler kernel (reference parity pinned by
+goldens; values verified by executing the reference pseudo-labeler)."""
+
+from amharic_ecommerce_data_extractor_spark.kernels import labeler as lb
+
+
+def test_tokenize_message_glued_price():
+    assert lb.tokenize_message("550ብር ነው") == ["550", "ብር", "ነው"]
+    assert lb.tokenize_message("ዋጋ፦550 ብር") == ["ዋጋ", ":", "550", "ብር"]
+    assert lb.tokenize_message("ዋጋ:-1200") == ["ዋጋ", ":", "-", "1200"]
+    assert lb.tokenize_message("10meter x 45cm") == ["10meter", "x", "45cm"]
+    assert lb.tokenize_message("") == []
+
+
+def test_price_rules():
+    # Rule 1a: number + ብር lookahead
+    assert lb.label_tokens(["500", "ብር"]) == [("500", "B-PRICE"), ("ብር", "I-PRICE")]
+    # Rule 1c: trigger + number + ብር
+    assert lb.label_tokens(["ዋጋ", "500", "ብር"]) == [
+        ("ዋጋ", "B-PRICE"), ("500", "I-PRICE"), ("ብር", "I-PRICE")]
+    # Rule 1b: glued token split
+    assert lb.label_tokens(["550ብር"]) == [("550", "B-PRICE"), ("ብር", "I-PRICE")]
+
+
+def test_location_and_product_rules():
+    got = lb.label_tokens(["መገናኛ", "ሲቲ", "ሞል", "hello"])
+    assert got == [("መገናኛ", "B-LOC"), ("ሲቲ", "I-LOC"), ("ሞል", "I-LOC"), ("hello", "O")]
+    got = lb.label_tokens(["mini", "blender", "electric", "ነው"])
+    assert got == [("mini", "B-PRODUCT"), ("blender", "I-PRODUCT"),
+                   ("electric", "I-PRODUCT"), ("ነው", "O")]
+
+
+def test_contact_extension():
+    assert lb.label_tokens(["0911223344"]) == [("0911223344", "B-CONTACT_INFO")]
+    assert lb.label_tokens(["251911123456"]) == [("251911123456", "B-CONTACT_INFO")]
+    # phone terminates a greedy location run instead of being swallowed
+    got = lb.label_tokens(["መገናኛ", "ሲቲ", "0911223344"])
+    assert got == [("መገናኛ", "B-LOC"), ("ሲቲ", "I-LOC"), ("0911223344", "B-CONTACT_INFO")]
+    # reference mode: no contact labels at all
+    got = lb.label_tokens(["0911223344"], with_contact_rule=False)
+    assert got == [("0911223344", "O")]
+
+
+def test_group_entities_and_prices():
+    r = lb.extract_message("ምርጥ blender ዋጋ 500 ብር መገናኛ ሲቲ ሞል 0911223344")
+    assert r["products"] == ["ምርጥ blender"]
+    assert r["prices"] == ["ዋጋ 500 ብር"]
+    assert r["locations"] == ["መገናኛ ሲቲ ሞል"]
+    assert r["contacts"] == ["0911223344"]
+    # 'ዋጋ' inside the span defeats float() — exact notebook-03 behavior
+    assert r["price_values"] == []
+    # note: directly after a product word, the product rule would greedily
+    # consume the number (faithful reference behavior) — use plain context
+    r2 = lb.extract_message("ሸጣለሁ 550ብር")
+    assert r2["prices"] == ["550 ብር"]
+    assert r2["price_values"] == [550.0]
+
+
+def test_parse_price_charclass():
+    assert lb.parse_price("5,000 ብር") == 5000.0
+    assert lb.parse_price("1,200ብር") == 1200.0
+    assert lb.parse_price("birr 99") == 99.0
+    assert lb.parse_price("ዋጋ 500") is None  # non-stripped Amharic defeats float()
+
+
+def test_corrupted_label_is_O():
+    got = lb.group_entities([("ቦሌ", "I-LOCገ"), ("x", "O")])
+    assert got == {"PRODUCT": [], "PRICE": [], "LOC": [], "CONTACT_INFO": []}
