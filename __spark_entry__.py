@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction slice end-to-end on a
+deterministic synthetic Amharic corpus (the graft's input table shape) plus
+the driver's sf0.001 parquet, and returns the vendor scorecard.
+
+``queries()`` / ``oracle_sql()`` cover the SURVEY.md §2 operator inventory
+over the driver's pre-registered parquet tables, each with a DuckDB ANSI-SQL
+twin where SQL-expressible.
 """
 
 from __future__ import annotations
@@ -15,24 +17,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: synthetic message corpus → extraction → triples →
+    vendor scorecard (highest lending score first)."""
+    from amharic_ecommerce_data_extractor_spark.data.synthetic import generate_messages
+    from amharic_ecommerce_data_extractor_spark.operators.extract import extract_entities
+    from amharic_ecommerce_data_extractor_spark.operators.scorecard import vendor_scorecard
+
+    msgs = generate_messages(spark, n_rows=2000, n_vendors=20)
+    return vendor_scorecard(extract_entities(msgs))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from amharic_ecommerce_data_extractor_spark.queries import SPARK_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from amharic_ecommerce_data_extractor_spark.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

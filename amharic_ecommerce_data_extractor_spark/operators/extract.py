@@ -1,0 +1,143 @@
+"""Entity-extraction operator: the engine's single Python stage.
+
+Replaces the reference's per-row driver loop (``model_evaluator.py:130-142``,
+batch size 1 per model call) with ONE fused, Arrow-batched ``mapInPandas``
+pass per partition:
+
+    content → preprocess (kernels.textprep, exact reference chain)
+            → message tokenizer → BIO rule labeling (kernels.labeler)
+            → entity grouping + price parsing
+
+Everything downstream (triples, joins, aggregations) is pure JVM column work;
+this operator is the only Python/Arrow boundary in the pipeline. The plan is
+narrow — no shuffle — so it scales linearly with partitions at any input
+size; the per-executor cost is one Arrow round-trip per batch.
+
+Backends:
+* ``rules`` (default): deterministic kernel — the parity-testable "model".
+* ``hf``: HuggingFace token-classification (reference ``model_evaluator.py:81``
+  semantics). Loaded lazily ONCE PER EXECUTOR PROCESS via a module-level
+  singleton — never pickled from the driver. Gated behind an import-try: in
+  environments without ``transformers`` it raises at first batch with a clear
+  message. The Spark-side plumbing (schema, batching, fusion) is identical to
+  the rules backend and is what the tests cover.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..kernels import labeler as lb
+from ..kernels import textprep as tp
+
+ENTITY_FIELDS = [
+    T.StructField("preprocessed_text", T.StringType(), True),
+    T.StructField("tokens", T.ArrayType(T.StringType()), True),
+    T.StructField("labels", T.ArrayType(T.StringType()), True),
+    T.StructField("products", T.ArrayType(T.StringType()), True),
+    T.StructField("prices", T.ArrayType(T.StringType()), True),
+    T.StructField("locations", T.ArrayType(T.StringType()), True),
+    T.StructField("contacts", T.ArrayType(T.StringType()), True),
+    T.StructField("price_values", T.ArrayType(T.DoubleType()), True),
+]
+
+_HF_SINGLETON: dict = {}
+
+
+def _hf_pipeline(model_dir: str):
+    """Per-executor lazy singleton for the HF backend (one load per python
+    worker process, shared across Arrow batches)."""
+    if "pipe" not in _HF_SINGLETON:
+        try:
+            from transformers import pipeline  # type: ignore
+        except ImportError as exc:  # pragma: no cover - env without transformers
+            raise NotImplementedError(
+                "hf backend needs the 'transformers' package on executors; "
+                "use backend='rules' in this environment"
+            ) from exc
+        _HF_SINGLETON["pipe"] = pipeline(
+            "ner", model=model_dir, tokenizer=model_dir, aggregation_strategy="simple"
+        )
+    return _HF_SINGLETON["pipe"]
+
+
+def _extract_batch_rules(clean: pd.Series, with_contact_rule: bool) -> list[dict]:
+    return [lb.extract_message(c, with_contact_rule=with_contact_rule) for c in clean]
+
+
+def _extract_batch_hf(clean: pd.Series, model_dir: str) -> list[dict]:
+    """HF batch path: one pipeline call per Arrow batch (amortizes the
+    Python↔native boundary the reference crossed per single sentence)."""
+    pipe = _hf_pipeline(model_dir)
+    texts = clean.fillna("").tolist()
+    results = pipe([t if t.strip() else "-" for t in texts], batch_size=64)
+    out = []
+    for text, spans in zip(texts, results):
+        ents: dict[str, list[str]] = {"PRODUCT": [], "PRICE": [], "LOC": [], "CONTACT_INFO": []}
+        for s in spans if text.strip() else []:
+            g = s.get("entity_group", "")
+            if g in ents:
+                ents[g].append(s["word"])
+        pv = [v for v in (lb.parse_price(p) for p in ents["PRICE"]) if v is not None]
+        out.append({
+            "tokens": tp.tokenize_text(text), "labels": None,
+            "products": ents["PRODUCT"], "prices": ents["PRICE"],
+            "locations": ents["LOC"], "contacts": ents["CONTACT_INFO"],
+            "price_values": pv,
+        })
+    return out
+
+
+def extract_entities(
+    df: DataFrame,
+    text_col: str = "content",
+    backend: str = "rules",
+    with_contact_rule: bool = True,
+    model_dir: str | None = None,
+) -> DataFrame:
+    """messages → messages + entity columns. Narrow plan, zero shuffles."""
+    out_schema = T.StructType(list(df.schema.fields) + ENTITY_FIELDS)
+    in_cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            clean = tp.preprocess_series(pdf[text_col])
+            if backend == "rules":
+                recs = _extract_batch_rules(clean, with_contact_rule)
+            elif backend == "hf":
+                recs = _extract_batch_hf(clean, model_dir or "")
+            else:
+                raise ValueError(f"unknown backend {backend!r}")
+            out = pdf[in_cols].copy()
+            out["preprocessed_text"] = clean
+            for field in ("tokens", "labels", "products", "prices",
+                          "locations", "contacts", "price_values"):
+                out[field] = [r[field] for r in recs]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def predictions_table(extracted: DataFrame) -> DataFrame:
+    """Token-level prediction rows — the reference's per-token CSV shape
+    (``model_evaluator.py:199-207``) minus the cosmetic blank separator rows:
+    ``(message_id, repo, pos, token, predicted_label, preprocessed_text)``.
+    Pure JVM explode; keeps partitioning."""
+    from pyspark.sql import functions as F
+
+    return extracted.select(
+        "message_id",
+        "repo",
+        F.posexplode(F.arrays_zip("tokens", "labels")).alias("pos", "tl"),
+        "preprocessed_text",
+    ).select(
+        "message_id", "repo", "pos",
+        F.col("tl.tokens").alias("token"),
+        F.col("tl.labels").alias("predicted_label"),
+        "preprocessed_text",
+    )

@@ -1,0 +1,427 @@
+"""Driver-contract query registry: each entry is a Spark DataFrame program
+plus (where SQL-expressible) a DuckDB ANSI-SQL twin over the same parquet
+tables. Together they pin the SURVEY.md §2 operator inventory: scans,
+filters, projections, text functions, joins, aggregations, windows, top-k,
+set ops, dedup, similarity search and the scorecard semantics.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value-hash, with columns sorted by name):
+* every computed column is aliased identically on both sides;
+* every double-valued output is wrapped in round(x, 6) on both sides so
+  floating-point summation-order noise cannot flip the hash;
+* deterministic ORDER BY + LIMIT for every top-k.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations over the fact table (reference A2/A3/D3 analogues; TPC-H Q1
+# shape exercises partial aggregation / whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+@_q("q01_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                                        AS sum_qty,
+       round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+       round(avg(l_quantity), 6)                                        AS avg_qty,
+       round(avg(l_extendedprice), 6)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q01(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-01")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_q("q02_revenue_by_segment", """
+SELECT c_mktsegment,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*)                    AS n_orders,
+       count(DISTINCT o_custkey)   AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def q02(spark, sf_dir):
+    # equi join with a broadcast-able dimension (reference J1 analogue)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"),
+             F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
+@_q("q03_top_brands_by_revenue", """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY revenue DESC, p_brand ASC
+LIMIT 10
+""")
+def q03(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue"), F.asc("p_brand"))
+        .limit(10)
+    )
+
+
+@_q("q04_supplier_nation_rollup", """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def q04(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scorecard semantics on the events table (A2-A6, A4 argmax, D2 date span)
+# ---------------------------------------------------------------------------
+
+_EVENT_SCORECARD_SQL = """
+WITH agg AS (
+  SELECT user_id,
+         count(*)                 AS total_events,
+         round(avg(value), 6)     AS avg_value,
+         min(ts)                  AS first_ts,
+         max(ts)                  AS last_ts,
+         floor(date_diff('second', min(ts), max(ts)) / 86400.0) + 1 AS range_days
+  FROM events GROUP BY user_id
+), top AS (
+  SELECT user_id, event_type AS top_event_type
+  FROM (SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+        FROM events)
+  WHERE rn = 1
+)
+SELECT agg.user_id, total_events, avg_value,
+       round(CASE WHEN range_days <= 0 THEN total_events
+                  ELSE total_events / (range_days / 7.0) END, 6) AS events_per_week,
+       top_event_type
+FROM agg JOIN top ON agg.user_id = top.user_id
+"""
+
+
+@_q("q05_event_scorecard", _EVENT_SCORECARD_SQL)
+def q05(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("total_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        # argmax(value) tie-broken by lowest event_id — algebraic, no window
+        F.expr("max_by(event_type, struct(value, -event_id))").alias("top_event_type"),
+    )
+    # parquet timestamps load as TIMESTAMP_NTZ in Spark 4: hop via TIMESTAMP
+    # (session tz is pinned UTC) before the epoch-seconds cast
+    range_days = F.floor(
+        (F.col("last_ts").cast("timestamp").cast("double")
+         - F.col("first_ts").cast("timestamp").cast("double")) / 86400.0
+    ) + F.lit(1)
+    return agg.select(
+        "user_id", "total_events", "avg_value",
+        F.round(
+            F.when(range_days <= 0, F.col("total_events").cast("double"))
+            .otherwise(F.col("total_events") / (range_days / F.lit(7.0))), 6
+        ).alias("events_per_week"),
+        "top_event_type",
+    )
+
+
+@_q("q06_user_lending_score", f"""
+WITH sc AS ({_EVENT_SCORECARD_SQL}),
+stats AS (
+  SELECT min(avg_value) AS min_v, max(avg_value) AS max_v,
+         min(events_per_week) AS min_w, max(events_per_week) AS max_w
+  FROM sc)
+SELECT user_id,
+       round(100 * (0.5 * CASE WHEN max_v = min_v THEN 0.0
+                               ELSE (avg_value - min_v) / (max_v - min_v) END
+                  + 0.5 * CASE WHEN max_w = min_w THEN 0.0
+                               ELSE (events_per_week - min_w) / (max_w - min_w) END), 6)
+         AS lending_score
+FROM sc CROSS JOIN stats
+""")
+def q06(spark, sf_dir):
+    sc = q05(spark, sf_dir)
+    stats = sc.agg(F.min("avg_value").alias("min_v"), F.max("avg_value").alias("max_v"),
+                   F.min("events_per_week").alias("min_w"), F.max("events_per_week").alias("max_w"))
+    j = sc.crossJoin(F.broadcast(stats))
+    norm_v = F.when(F.col("max_v") == F.col("min_v"), F.lit(0.0)).otherwise(
+        (F.col("avg_value") - F.col("min_v")) / (F.col("max_v") - F.col("min_v")))
+    norm_w = F.when(F.col("max_w") == F.col("min_w"), F.lit(0.0)).otherwise(
+        (F.col("events_per_week") - F.col("min_w")) / (F.col("max_w") - F.col("min_w")))
+    return j.select("user_id",
+                    F.round(100 * (0.5 * norm_v + 0.5 * norm_w), 6).alias("lending_score"))
+
+
+# ---------------------------------------------------------------------------
+# Calendar aggregations (A11/A12), distinct counts (A7), value counts (A8/A10)
+# ---------------------------------------------------------------------------
+
+@_q("q07_daily_event_counts", """
+SELECT CAST(ts AS DATE) AS day, count(*) AS n
+FROM events GROUP BY 1
+""")
+def q07(spark, sf_dir):
+    return _t(spark, sf_dir, "events").groupBy(
+        F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+
+
+@_q("q08_dow_histogram", """
+SELECT dayname(ts) AS dow, count(*) AS n FROM events GROUP BY 1
+""")
+def q08(spark, sf_dir):
+    return _t(spark, sf_dir, "events").groupBy(
+        F.date_format("ts", "EEEE").alias("dow")).agg(F.count("*").alias("n"))
+
+
+@_q("q09_distinct_users_by_type", """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+""")
+def q09(spark, sf_dir):
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events"))
+
+
+@_q("q10_docs_by_source", """
+SELECT source, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY source ORDER BY n_docs DESC, source ASC
+""")
+def q10(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents").groupBy("source")
+            .agg(F.count("*").alias("n_docs"), F.round(F.avg("n_chars"), 6).alias("avg_chars"))
+            .orderBy(F.desc("n_docs"), F.asc("source")))
+
+
+# ---------------------------------------------------------------------------
+# Text statistics & EDA (A13-A17, T4/T7 regex chain, language-id heuristic)
+# ---------------------------------------------------------------------------
+
+@_q("q11_text_stats", """
+SELECT lang, count(*) AS n_docs,
+       round(avg(length(text)), 6) AS avg_len,
+       round(avg(len(string_split_regex(trim(text), '\\s+'))), 6) AS avg_words,
+       sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS n_empty
+FROM documents GROUP BY lang
+""")
+def q11(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_len"),
+        F.round(F.avg(F.size(F.split(F.trim(F.col("text")), r"\s+"))), 6).alias("avg_words"),
+        F.sum(F.when(F.length(F.trim(F.col("text"))) == 0, 1).otherwise(0)).alias("n_empty"),
+    )
+
+
+@_q("q12_vocab_size", """
+SELECT lang, count(DISTINCT w) AS vocab
+FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+WHERE w <> '' GROUP BY lang
+""")
+def q12(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("lang").agg(F.countDistinct("w").alias("vocab")))
+
+
+@_q("q13_top20_words", """
+SELECT w, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+WHERE w <> '' GROUP BY w ORDER BY n DESC, w ASC LIMIT 20
+""")
+def q13(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(F.explode(F.split("text", " ")).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("w").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("w")).limit(20))
+
+
+@_q("q14_corr_qty_price", """
+SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+FROM lineitem GROUP BY l_returnflag
+""")
+def q14(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"))
+
+
+@_q("q15_clean_text", """
+SELECT doc_id,
+       trim(regexp_replace(
+           regexp_replace(text, 'https?://\\S+|www\\.\\S+|@\\w+|#\\w+', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS clean
+FROM documents
+""")
+def q15(spark, sf_dir):
+    # reference T4+T7 as pure column expressions (JVM whole-stage codegen)
+    d = _t(spark, sf_dir, "documents")
+    clean = F.trim(F.regexp_replace(
+        F.regexp_replace("text", r"https?://\S+|www\.\S+|@\w+|#\w+", " "),
+        r"\s+", " "))
+    return d.select("doc_id", clean.alias("clean"))
+
+
+@_q("q16_langid_heuristic", """
+SELECT lang,
+       sum(CASE WHEN length(regexp_replace(lower(text), '[a-z0-9\\s.,!?;:''"-]', '', 'g'))
+                     <= 0.05 * length(text)
+                THEN 1 ELSE 0 END) AS n_latin,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+""")
+def q16(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    non_latin = F.length(F.regexp_replace(F.lower(F.col("text")), "[a-z0-9\\s.,!?;:'\"-]", ""))
+    return d.groupBy("lang").agg(
+        F.sum(F.when(non_latin <= 0.05 * F.length("text"), 1).otherwise(0)).alias("n_latin"),
+        F.count("*").alias("n_docs"))
+
+
+@_q("q17_exact_dedup_profile", """
+SELECT lang, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct,
+       count(*) - count(DISTINCT md5(text)) AS n_dupes
+FROM documents GROUP BY lang
+""")
+def q17(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dupes"))
+
+
+@_q("q18_json_props", """
+SELECT event_type,
+       round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""")
+def q18(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(F.get_json_object("props", "$.k").cast("long")), 6).alias("avg_k"),
+        F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Window functions (running aggregates; reference has none but the engine
+# needs them for scorecard/top-k at scale) and set ops (U1)
+# ---------------------------------------------------------------------------
+
+@_q("q19_running_value", """
+SELECT event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS running_value
+FROM events
+""")
+def q19(spark, sf_dir):
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.round(F.sum("value").over(w), 6).alias("running_value"))
+
+
+@_q("q20_union_profile", """
+SELECT lang, count(*) AS n FROM (
+  SELECT lang FROM documents WHERE n_chars >= 200
+  UNION ALL
+  SELECT lang FROM documents WHERE length(text) < 100
+) GROUP BY lang
+""")
+def q20(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    u = d.where(F.col("n_chars") >= 200).select("lang").unionByName(
+        d.where(F.length("text") < 100).select("lang"))
+    return u.groupBy("lang").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k over embeddings (baseline path)
+# ---------------------------------------------------------------------------
+
+@_q("q21_knn_bruteforce", """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE q.vec_id <> e.vec_id
+)
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM pairs)
+WHERE rnk <= 3
+""")
+def q21(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.similarity import knn_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return knn_bruteforce(queries, emb, k=3).select("query_id", "neighbor_id", "rnk")
