@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline queries + the full KG-construction pipeline at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "kg": {...triples/sec...}}
+
+--kg-only : run only the KG pipeline (used by --scaling subprocesses).
+--scaling : run the KG pipeline in fresh JVMs at two parallelism levels
+            (local[8] vs local[32] standing in for N and 4N executors) on the
+            SAME input and report throughput at both + scaling efficiency —
+            the BASELINE.json north-rule evidence.
+
+Every query materializes through the no-op sink (full computation, no driver
+collect) so the measurement is engine time, not result transfer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(tail)
+    except ValueError:
+        return -1.0
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_kg(spark, n_messages: int) -> dict:
+    """Staged KG pipeline over a pre-materialized corpus: extraction stage is
+    checkpointed once (as the real pipeline does), then triples + scorecard
+    read the checkpoint — no stage is computed twice. Corpus generation is
+    NOT part of the timed window."""
+    import shutil
+    import tempfile
+
+    from amharic_ecommerce_data_extractor_spark.data.synthetic import generate_messages
+    from amharic_ecommerce_data_extractor_spark.operators.extract import extract_entities
+    from amharic_ecommerce_data_extractor_spark.operators.scorecard import vendor_scorecard
+    from amharic_ecommerce_data_extractor_spark.operators.triples import emit_triples
+
+    workdir = tempfile.mkdtemp(prefix="kg_bench_")
+    try:
+        msgs_path = f"{workdir}/messages"
+        generate_messages(spark, n_rows=n_messages, n_vendors=50).write.parquet(msgs_path)
+
+        t0 = time.perf_counter()
+        msgs = spark.read.parquet(msgs_path)
+        ext_path = f"{workdir}/extracted"
+        extract_entities(msgs).write.parquet(ext_path)
+        t_extract = time.perf_counter() - t0
+
+        extracted = spark.read.parquet(ext_path)
+        t1 = time.perf_counter()
+        n_triples = emit_triples(extracted).count()
+        _force(vendor_scorecard(extracted))
+        t_agg = time.perf_counter() - t1
+        elapsed = t_extract + t_agg
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return {
+        "messages": n_messages,
+        "triples": n_triples,
+        "seconds": round(elapsed, 3),
+        "extract_sec": round(t_extract, 3),
+        "aggregate_sec": round(t_agg, 3),
+        "triples_per_sec": round(n_triples / elapsed, 1),
+        "messages_per_sec": round(n_messages / elapsed, 1),
+    }
+
+
+def run_full(sf_dir: str, cpus: int) -> dict:
+    from amharic_ecommerce_data_extractor_spark.queries import SPARK_QUERIES
+    from amharic_ecommerce_data_extractor_spark.session import get_spark
+
+    sf = _sf_of(sf_dir)
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+    spark.range(10).count()  # JVM warm-up
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(SPARK_QUERIES.items()):
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    n_messages = max(2000, int(600_000 * sf)) if sf > 0 else 2000
+    kg = run_kg(spark, n_messages)
+    timings["kg_pipeline"] = kg["seconds"]
+
+    total = round(sum(timings.values()), 3)
+    spark.stop()
+    return {
+        "metric": "headline_queries_plus_kg_pipeline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "kg": kg,
+    }
+
+
+def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
+    """Same KG job, same input, two parallelism levels, fresh JVM each."""
+    results = {}
+    for cpus in levels:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, __file__, "--kg-only"],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    lo, hi = min(levels), max(levels)
+    tput_lo = results[lo]["kg"]["triples_per_sec"]
+    tput_hi = results[hi]["kg"]["triples_per_sec"]
+    efficiency = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "kg_scaling_efficiency",
+        "value": round(efficiency, 4),
+        "unit": "ratio",
+        "levels": {str(k): v["kg"] for k, v in results.items()},
+        "throughput": {str(lo): tput_lo, str(hi): tput_hi},
+        "sf_dir": sf_dir,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kg-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--messages", type=int, default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        print(json.dumps(run_scaling(sf_dir)))
+        return
+    if args.kg_only:
+        from amharic_ecommerce_data_extractor_spark.session import get_spark
+
+        sf = _sf_of(sf_dir)
+        n = args.messages or (max(2000, int(600_000 * sf)) if sf > 0 else 2000)
+        spark = get_spark(app_name="bench-kg", cores=cpus, shuffle_partitions=cpus)
+        spark.range(10).count()
+        kg = run_kg(spark, n)
+        spark.stop()
+        print(json.dumps({"metric": "kg_pipeline", "value": kg["seconds"],
+                          "unit": "sec", "sf": sf, "cpus": cpus, "kg": kg}))
+        return
+    print(json.dumps(run_full(sf_dir, cpus)))
+
+
+if __name__ == "__main__":
+    main()
