@@ -41,13 +41,17 @@ def knn_bruteforce(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k. queries must be small (is broadcast)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # norms are computed once per row BEFORE the join (O(n+q) not O(n·q))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+                       _norm(F.col(vec_col)).alias("q_norm"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+                      _norm(F.col(vec_col)).alias("c_norm"))
     pairs = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("sim"))
+                (_dot(F.col("q_vec"), F.col("c_vec"))
+                 / (F.col("q_norm") * F.col("c_norm"))).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (pairs.withColumn("rnk", F.row_number().over(w))
