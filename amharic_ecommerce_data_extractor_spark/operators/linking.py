@@ -1,0 +1,220 @@
+"""Entity linking + canonicalization (graft operators G2/G3 — required by the
+north rule, no reference counterpart; no GraphFrames dependency).
+
+Stage 1 — MinHash-LSH blocking (G2): character-shingle each distinct surface
+form, compute a k-hash MinHash signature with ``xxhash64(shingle, seed_i)``
+(pure JVM), band it (b bands × r rows), and self-join on
+``(band_id, band_signature)``. Only banded collisions are candidate pairs —
+the O(n²) comparison becomes an equi join whose cost follows the true
+near-duplicate density.
+
+Stage 2 — exact verify: candidate pairs are confirmed with exact Jaccard over
+shingle sets (array_intersect/array_union) ≥ threshold.
+
+Stage 3 — connected components (G3): alternating large-star/small-star
+iterative joins (Kiveris et al., "Connected Components in MapReduce and
+Beyond") — O(log n) rounds, each a groupBy + join; ``localCheckpoint``
+truncates lineage every round, convergence detected via an edge-set
+signature (count + hash-sum), so the driver loop does constant work per
+round regardless of input size.
+
+Canonical id = min node id of the component; canonical surface = the
+lexicographically smallest surface (deterministic under any partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash
+# ---------------------------------------------------------------------------
+
+def char_shingles(col, n: int = 3):
+    """Distinct character n-grams of lower(trim(col)); strings shorter than n
+    yield the whole string as a single shingle."""
+    s = F.lower(F.trim(col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1))),
+        lambda i: F.substring(s, i, n),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles_col, num_hashes: int = 24):
+    """array<long>: per seed i, min over shingles of xxhash64(shingle, i).
+    All JVM — no Python in the loop."""
+    return F.array(*[
+        F.array_min(F.transform(shingles_col, lambda sh: F.xxhash64(sh, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+
+
+def band_keys(sig_col, bands: int, rows: int):
+    """array<struct<band:int, sig:long>> — one LSH key per band."""
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.element_at(sig_col, b * rows + r + 1) for r in range(rows)]).alias("sig"),
+        )
+        for b in range(bands)
+    ])
+
+
+def jaccard(a, b):
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def lsh_candidate_pairs(
+    surfaces: DataFrame,
+    id_col: str = "node_id",
+    text_col: str = "surface",
+    shingle_n: int = 3,
+    bands: int = 6,
+    rows: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """(node_id, surface) → verified similar pairs (src, dst, sim), src < dst."""
+    sh = surfaces.select(
+        F.col(id_col).alias("nid"),
+        F.col(text_col).alias("txt"),
+        char_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    banded = sh.select(
+        "nid", "shingles",
+        F.explode(band_keys(minhash_signature(F.col("shingles"), bands * rows), bands, rows)).alias("bk"),
+    ).select("nid", "shingles", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, on=["band", "sig"])
+        .where(F.col("a.nid") < F.col("b.nid"))
+        .select(F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"),
+                F.col("a.shingles").alias("sh_a"), F.col("b.shingles").alias("sh_b"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return (
+        cand.withColumn("sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("sim") >= threshold)
+        .select("src", "dst", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components: alternating large-star / small-star
+# ---------------------------------------------------------------------------
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    g = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = g.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.select("src", F.least("mn", F.col("src")).alias("m"))
+    return (
+        g.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    d = (edges.select(F.greatest("src", "dst").alias("src"),
+                      F.least("src", "dst").alias("dst"))
+         .where(F.col("src") != F.col("dst")))
+    mins = d.groupBy("src").agg(F.min("dst").alias("m"))
+    nbr_edges = (
+        d.join(mins, "src")
+        .where(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edges = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return nbr_edges.union(self_edges).distinct()
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Undirected (src, dst) edges → (node, component) with component = min
+    node id reachable. Isolated nodes absent from `edges` are handled by the
+    caller (left join + coalesce to self)."""
+    cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    cur = cur.localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(cur)).localCheckpoint()
+        sig = _signature(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixed point: every edge points node → component root
+    comp = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = comp.select(F.col("component").alias("node"),
+                        F.col("component").alias("component"))
+    return comp.union(roots).groupBy("node").agg(F.min("component").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end canonicalization of entity surface forms
+# ---------------------------------------------------------------------------
+
+def canonicalize_surfaces(
+    surfaces: DataFrame,
+    text_col: str = "surface",
+    type_col: str = "type",
+    shingle_n: int = 3,
+    bands: int = 6,
+    rows: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """distinct (type, surface) → (type, surface, node_id, canonical_id,
+    canonical_surface). Linking never crosses entity types (node ids are
+    hashed over (type, surface))."""
+    nodes = surfaces.select(
+        F.col(type_col).alias("type"),
+        F.col(text_col).alias("surface"),
+        F.xxhash64(type_col, text_col).alias("node_id"),
+    ).dropDuplicates(["type", "surface"])
+
+    pairs = lsh_candidate_pairs(
+        nodes, id_col="node_id", text_col="surface",
+        shingle_n=shingle_n, bands=bands, rows=rows, threshold=threshold,
+    )
+    comp = connected_components(pairs.select("src", "dst"))
+
+    linked = (
+        nodes.join(comp, nodes.node_id == comp.node, "left")
+        .select("type", "surface", "node_id",
+                F.coalesce("component", "node_id").alias("canonical_id"))
+    )
+    # deterministic representative: lexicographically smallest surface
+    reps = (linked.groupBy("canonical_id")
+            .agg(F.min("surface").alias("canonical_surface")))
+    return linked.join(F.broadcast(reps), "canonical_id").select(
+        "type", "surface", "node_id", "canonical_id", "canonical_surface")
+
+
+def canonicalize_triples(triples: DataFrame, canon: DataFrame) -> DataFrame:
+    """Rewrite triple subjects/objects onto canonical surfaces. Products are
+    canonicalized on both sides (subj of priced_at, obj of sells); locations
+    on the obj of located_in; vendors/contacts/prices pass through."""
+    prod = canon.where(F.col("type") == "PRODUCT").select(
+        F.col("surface").alias("k"), F.col("canonical_surface").alias("v"))
+    loc = canon.where(F.col("type") == "LOC").select(
+        F.col("surface").alias("k"), F.col("canonical_surface").alias("v"))
+
+    t = triples
+    t = (t.join(F.broadcast(prod), (t.pred == "sells") & (t.obj == prod.k), "left")
+         .withColumn("obj", F.coalesce("v", "obj")).drop("k", "v"))
+    t = (t.join(F.broadcast(prod), (t.pred == "priced_at") & (t.subj == prod.k), "left")
+         .withColumn("subj", F.coalesce("v", "subj")).drop("k", "v"))
+    t = (t.join(F.broadcast(loc), (t.pred == "located_in") & (t.obj == loc.k), "left")
+         .withColumn("obj", F.coalesce("v", "obj")).drop("k", "v"))
+    return t.select("subj", "pred", "obj", "message_id", "confidence")

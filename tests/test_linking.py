@@ -1,0 +1,103 @@
+"""Entity linking: LSH blocking recall, connected-components correctness vs a
+Python union-find ground truth, and end-to-end canonicalization."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from amharic_ecommerce_data_extractor_spark.operators.linking import (
+    canonicalize_surfaces,
+    canonicalize_triples,
+    connected_components,
+    lsh_candidate_pairs,
+)
+
+
+class UF:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+@pytest.mark.parametrize("n,m,seed", [(30, 15, 1), (50, 60, 2), (80, 40, 3), (10, 45, 4)])
+def test_connected_components_vs_union_find(spark, n, m, seed):
+    rng = random.Random(seed)
+    edges = [(rng.randint(0, n - 1), rng.randint(0, n - 1)) for _ in range(m)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+    uf = UF()
+    for a, b in edges:
+        uf.union(a, b)
+    nodes = {x for e in edges for x in e}
+    want = {x: min(y for y in nodes if uf.find(y) == uf.find(x)) for x in nodes}
+    assert got == want
+
+
+def test_connected_components_chain(spark):
+    # worst-case diameter: a long path — star algorithm converges in O(log n)
+    df = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_lsh_finds_near_duplicates(spark):
+    surfaces = [
+        (1, "mini blender electric"),
+        (2, "mini blender electric!"),     # near-dup of 1
+        (3, "mini  blender electric"),     # near-dup of 1 (extra space)
+        (4, "stainless steel stove"),
+        (5, "stainless steel stove 2024"), # near-dup of 4
+        (6, "ድስት ምጣድ"),
+        (7, "completely different thing"),
+    ]
+    df = spark.createDataFrame(surfaces, "node_id long, surface string")
+    pairs = {(r["src"], r["dst"]) for r in
+             lsh_candidate_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs
+    assert (4, 5) in pairs
+    assert all(7 not in p for p in pairs)
+    assert all(6 not in p for p in pairs)
+
+
+def test_canonicalize_surfaces_and_triples(spark):
+    surf = spark.createDataFrame(
+        [("PRODUCT", "mini blender electric"),
+         ("PRODUCT", "mini blender electric!"),
+         ("PRODUCT", "ድስት"),
+         ("LOC", "መገናኛ ሲቲ ሞል"),
+         ("LOC", "መገናኛ ሲቲ ሞል ፎቅ")],
+        "type string, surface string")
+    canon = canonicalize_surfaces(surf, threshold=0.5)
+    rows = {(r["type"], r["surface"]): r["canonical_surface"] for r in canon.collect()}
+    # both blender variants share one canonical form (the lexicographic min)
+    assert rows[("PRODUCT", "mini blender electric")] == rows[("PRODUCT", "mini blender electric!")]
+    assert rows[("PRODUCT", "ድስት")] == "ድስት"
+    assert rows[("LOC", "መገናኛ ሲቲ ሞል")] == rows[("LOC", "መገናኛ ሲቲ ሞል ፎቅ")]
+
+    triples = spark.createDataFrame(
+        [("v1", "sells", "mini blender electric!", 1, 1.0),
+         ("mini blender electric!", "priced_at", "500.0", 1, 1.0),
+         ("v1", "located_in", "መገናኛ ሲቲ ሞል ፎቅ", 1, 1.0),
+         ("v1", "contact", "0911", 1, 1.0)],
+        "subj string, pred string, obj string, message_id long, confidence double")
+    fixed = canonicalize_triples(triples, canon).collect()
+    by_pred = {r["pred"]: r for r in fixed}
+    assert by_pred["sells"]["obj"] == "mini blender electric"
+    assert by_pred["priced_at"]["subj"] == "mini blender electric"
+    assert by_pred["located_in"]["obj"] == rows[("LOC", "መገናኛ ሲቲ ሞል")]
+    assert by_pred["contact"]["obj"] == "0911"
