@@ -42,24 +42,26 @@ def char_shingles(col, n: int = 3):
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingles_col, num_hashes: int = 24):
+def minhash_signature(shingles_col, num_hashes: int = 16):
     """array<long>: per seed i, min over shingles of xxhash64(shingle, i).
-    All JVM — no Python in the loop."""
-    return F.array(*[
-        F.array_min(F.transform(shingles_col, lambda sh: F.xxhash64(sh, F.lit(i))))
-        for i in range(num_hashes)
-    ])
+    All JVM, and ONE nested-transform expression tree (a per-seed python loop
+    of separate array_min expressions makes Catalyst analysis time explode)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingles_col, lambda sh: F.xxhash64(sh, i))),
+    )
 
 
 def band_keys(sig_col, bands: int, rows: int):
-    """array<struct<band:int, sig:long>> — one LSH key per band."""
-    return F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.element_at(sig_col, b * rows + r + 1) for r in range(rows)]).alias("sig"),
-        )
-        for b in range(bands)
-    ])
+    """array<struct<band:int, sig:long>> — one LSH key per band (xxhash64 of
+    the band's signature slice)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.xxhash64(F.slice(sig_col, b * rows + 1, F.lit(rows))).alias("sig"),
+        ),
+    )
 
 
 def jaccard(a, b):
@@ -71,8 +73,8 @@ def lsh_candidate_pairs(
     id_col: str = "node_id",
     text_col: str = "surface",
     shingle_n: int = 3,
-    bands: int = 6,
-    rows: int = 4,
+    bands: int = 8,
+    rows: int = 2,
     threshold: float = 0.6,
 ) -> DataFrame:
     """(node_id, surface) → verified similar pairs (src, dst, sim), src < dst."""
@@ -111,11 +113,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = g.groupBy("src").agg(F.min("dst").alias("mn"))
     mins = mins.select("src", F.least("mn", F.col("src")).alias("m"))
+    # no distinct here: duplicates do not affect the min-aggregations in the
+    # following small-star, which dedupes its own output — saves one shuffle
+    # per iteration
     return (
         g.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
@@ -170,8 +174,8 @@ def canonicalize_surfaces(
     text_col: str = "surface",
     type_col: str = "type",
     shingle_n: int = 3,
-    bands: int = 6,
-    rows: int = 4,
+    bands: int = 8,
+    rows: int = 2,
     threshold: float = 0.6,
 ) -> DataFrame:
     """distinct (type, surface) → (type, surface, node_id, canonical_id,

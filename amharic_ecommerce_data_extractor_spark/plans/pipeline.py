@@ -1,0 +1,149 @@
+"""End-to-end staged KG-construction pipeline (the rebuild of the reference's
+5-stage CLI ``scripts/run_pipeline.py:251-287`` as a checkpointed Spark DAG).
+
+Stages (each checkpointed with per-partition lineage, resumable):
+
+  ingest     raw message corpus (synthetic generator here; any parquet/Iceberg
+             table of the graft shape in production) + sha256 verification
+  extract    fused preprocess→tokenize→BIO→entities (one Arrow stage),
+             chunked for intra-stage resume; sha256 re-verified after
+  triples    (subj, pred, obj, message_id, confidence) emission
+  link       MinHash-LSH blocking + connected components → canonical surfaces
+  graph      canonical nodes + canonical triples (the materialized KG)
+  scorecard  vendor KPI + lending score over the canonical graph
+
+Run:  python -m amharic_ecommerce_data_extractor_spark.plans.pipeline \\
+          --workdir /tmp/kg --messages 5000 [--input <parquet>] [--cpus 8]
+
+A re-run with the same --workdir resumes: finished stages (and finished
+chunks inside the extract stage) are read back, not recomputed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.extract import extract_entities
+from ..operators.linking import canonicalize_surfaces, canonicalize_triples
+from ..operators.scorecard import vendor_scorecard
+from ..operators.triples import emit_triples
+from ..sources import checkpoint as ckpt
+
+
+def entity_surfaces(extracted: DataFrame) -> DataFrame:
+    """Distinct (type, surface) pairs from the entity arrays."""
+    parts = []
+    for col, etype in (("products", "PRODUCT"), ("locations", "LOC")):
+        parts.append(
+            extracted.select(F.explode(col).alias("surface"))
+            .withColumn("type", F.lit(etype))
+        )
+    return (
+        parts[0].unionByName(parts[1])
+        .where(F.length(F.trim("surface")) > 0)
+        .dropDuplicates(["type", "surface"])
+    )
+
+
+def graph_nodes(canon: DataFrame, triples: DataFrame) -> DataFrame:
+    """Node table of the materialized graph: vendors + canonical entities."""
+    vendors = (triples.where(F.col("pred").isin("sells", "located_in", "contact"))
+               .select(F.col("subj").alias("surface")).distinct()
+               .withColumn("type", F.lit("VENDOR")))
+    contacts = (triples.where(F.col("pred") == "contact")
+                .select(F.col("obj").alias("surface")).distinct()
+                .withColumn("type", F.lit("CONTACT_INFO")))
+    ents = canon.select("type", F.col("canonical_surface").alias("surface")).distinct()
+    nodes = vendors.unionByName(contacts).unionByName(ents).dropDuplicates(["type", "surface"])
+    return nodes.select(F.xxhash64("type", "surface").alias("node_id"), "type", "surface")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    workdir: str,
+    n_messages: int = 5000,
+    input_path: str | None = None,
+    n_chunks: int = 8,
+    lsh_threshold: float = 0.6,
+) -> dict:
+    os.makedirs(workdir, exist_ok=True)
+    metrics: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        metrics[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # Stage 0: ingest
+    def build_ingest():
+        if input_path:
+            return spark.read.parquet(input_path)
+        from ..data.synthetic import generate_messages
+
+        return generate_messages(spark, n_rows=n_messages, n_vendors=max(20, n_messages // 200))
+
+    messages = timed("ingest", lambda: ckpt.run_stage(spark, workdir, "ingest", build_ingest))
+    assert ckpt.verify_sha256_invariant(messages) == 0, "sha256 invariant broken at ingest"
+
+    # Stage 1: extract (chunked: intra-stage resume)
+    extracted = timed("extract", lambda: ckpt.chunked_stage(
+        spark, workdir, "extract", messages, extract_entities, n_chunks=n_chunks))
+    assert ckpt.verify_sha256_invariant(extracted) == 0, "sha256 invariant broken at extract"
+
+    # Stage 2: raw triples
+    triples = timed("triples", lambda: ckpt.run_stage(
+        spark, workdir, "triples", lambda: emit_triples(extracted)))
+
+    # Stage 3: entity linking / canonicalization
+    canon = timed("link", lambda: ckpt.run_stage(
+        spark, workdir, "link",
+        lambda: canonicalize_surfaces(entity_surfaces(extracted), threshold=lsh_threshold)))
+
+    # Stage 4: materialized graph (canonical triples + nodes)
+    canon_triples = timed("graph_triples", lambda: ckpt.run_stage(
+        spark, workdir, "graph_triples", lambda: canonicalize_triples(triples, canon)))
+    nodes = timed("graph_nodes", lambda: ckpt.run_stage(
+        spark, workdir, "graph_nodes", lambda: graph_nodes(canon, canon_triples)))
+
+    # Stage 5: vendor scorecard
+    scorecard = timed("scorecard", lambda: ckpt.run_stage(
+        spark, workdir, "scorecard", lambda: vendor_scorecard(extracted)))
+
+    return {
+        "workdir": workdir,
+        "messages": messages.count(),
+        "triples": canon_triples.count(),
+        "nodes": nodes.count(),
+        "vendors": scorecard.count(),
+        "stage_seconds": metrics,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--messages", type=int, default=5000)
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--chunks", type=int, default=8)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from ..session import get_spark
+
+    spark = get_spark(app_name="kg_pipeline", cores=args.cpus)
+    try:
+        summary = run_pipeline(spark, args.workdir, n_messages=args.messages,
+                               input_path=args.input, n_chunks=args.chunks)
+        print(json.dumps(summary))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Per-stage checkpointing with per-partition lineage and resume (graft
+operator G5).
+
+Every pipeline stage writes:
+* its data as parquet under ``<workdir>/<stage>/data`` (the checkpoint —
+  doubles as the cache between stages and the resume point);
+* a ``_lineage`` parquet: one row per output partition with row count and an
+  order-insensitive content signature (bit_xor of xxhash64 over all columns),
+  plus the per-row ``content_sha256`` invariant aggregate when present;
+* a ``_STAGE_DONE`` JSON marker (stage name, rows, wall time) written LAST —
+  its presence is the commit point of the stage.
+
+Resume = skip stages whose marker exists. For long Python-heavy stages,
+``chunked_stage`` hash-splits the input on a key into N chunks and commits
+each chunk independently — a mid-run restart recomputes only unfinished
+chunks (per-partition resume within a stage).
+
+The reference has no counterpart (every stage re-reads CSV and recomputes,
+``run_pipeline.py:89,217``); this is the distributed-reliability layer the
+north rule mandates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MARKER = "_STAGE_DONE"
+
+
+def _marker_path(stage_dir: str) -> str:
+    return os.path.join(stage_dir, MARKER)
+
+
+def stage_done(stage_dir: str) -> bool:
+    return os.path.exists(_marker_path(stage_dir))
+
+
+def lineage_frame(df: DataFrame) -> DataFrame:
+    """Per-partition lineage: row count + order-insensitive signature over all
+    columns; carries the sha256 invariant aggregate when the column exists."""
+    cols = df.columns
+    sig = F.expr(f"bit_xor(xxhash64({', '.join(cols)}))")
+    aggs = [F.count("*").alias("n_rows"), sig.alias("content_sig")]
+    if "content_sha256" in cols:
+        aggs.append(F.expr("bit_xor(xxhash64(content_sha256))").alias("sha256_sig"))
+    return (df.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id").agg(*aggs))
+
+
+def write_stage(df: DataFrame, stage_dir: str, stage: str,
+                partition_by: list[str] | None = None) -> None:
+    t0 = time.perf_counter()
+    data_path = os.path.join(stage_dir, "data")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(data_path)
+
+    spark = df.sparkSession
+    out = spark.read.parquet(data_path)
+    lin = lineage_frame(out)
+    lin.write.mode("overwrite").parquet(os.path.join(stage_dir, "_lineage"))
+    n_rows = int(spark.read.parquet(os.path.join(stage_dir, "_lineage"))
+                 .agg(F.sum("n_rows")).collect()[0][0] or 0)
+    with open(_marker_path(stage_dir), "w", encoding="utf-8") as f:
+        json.dump({"stage": stage, "rows": n_rows,
+                   "seconds": round(time.perf_counter() - t0, 3)}, f)
+
+
+def run_stage(spark: SparkSession, workdir: str, stage: str, build) -> DataFrame:
+    """Compute-or-resume: if the stage marker exists, read the checkpoint;
+    otherwise build(), checkpoint, and read back (truncating lineage)."""
+    stage_dir = os.path.join(workdir, stage)
+    data_path = os.path.join(stage_dir, "data")
+    if not stage_done(stage_dir):
+        os.makedirs(stage_dir, exist_ok=True)
+        write_stage(build(), stage_dir, stage)
+    return spark.read.parquet(data_path)
+
+
+def chunked_stage(
+    spark: SparkSession,
+    workdir: str,
+    stage: str,
+    source: DataFrame,
+    transform,
+    key_col: str = "message_id",
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Stage with intra-stage resume: the input is hash-split on key_col into
+    n_chunks; each chunk is transformed and committed independently (its own
+    data dir + marker). A restart skips finished chunks — finished partitions
+    are never recomputed. Output is the multi-chunk parquet scan."""
+    stage_dir = os.path.join(workdir, stage)
+    os.makedirs(stage_dir, exist_ok=True)
+    chunk_key = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_chunks))
+    for chunk in range(n_chunks):
+        cdir = os.path.join(stage_dir, f"chunk={chunk}")
+        if stage_done(cdir):
+            continue
+        os.makedirs(cdir, exist_ok=True)
+        part = source.where(chunk_key == chunk)
+        write_stage(transform(part), cdir, f"{stage}/chunk={chunk}")
+    with open(_marker_path(stage_dir), "w", encoding="utf-8") as f:
+        json.dump({"stage": stage, "chunks": n_chunks}, f)
+    return spark.read.parquet(os.path.join(stage_dir, "chunk=*", "data"))
+
+
+def verify_sha256_invariant(df: DataFrame, text_col: str = "content") -> int:
+    """Rows whose content no longer matches their carried sha256 — must be 0
+    at every checkpoint (BASELINE.md row invariant)."""
+    return df.where(
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256) != F.col("content_sha256")
+    ).count()

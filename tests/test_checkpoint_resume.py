@@ -1,0 +1,81 @@
+"""Checkpoint/lineage/resume: stage markers, per-partition lineage rows,
+sha256 invariant, and mid-run restart that does NOT recompute finished
+chunks."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from amharic_ecommerce_data_extractor_spark.data.synthetic import generate_messages
+from amharic_ecommerce_data_extractor_spark.operators.extract import extract_entities
+from amharic_ecommerce_data_extractor_spark.plans.pipeline import run_pipeline
+from amharic_ecommerce_data_extractor_spark.sources import checkpoint as ckpt
+
+
+def test_run_stage_resumes(spark, tmp_path):
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+    d1 = ckpt.run_stage(spark, str(tmp_path), "s1", build)
+    assert d1.count() == 100 and calls["n"] == 1
+    d2 = ckpt.run_stage(spark, str(tmp_path), "s1", build)
+    assert d2.count() == 100 and calls["n"] == 1  # resumed, not recomputed
+    lin = spark.read.parquet(str(tmp_path / "s1" / "_lineage"))
+    assert lin.agg(F.sum("n_rows")).collect()[0][0] == 100
+    assert {"partition_id", "n_rows", "content_sig"} <= set(lin.columns)
+
+
+def test_chunked_stage_mid_run_restart(spark, tmp_path):
+    msgs = generate_messages(spark, n_rows=300, n_vendors=5)
+    boom = {"arm": True}
+
+    def transform(df):
+        return extract_entities(df)
+
+    # first run: manually complete only chunks 0-2, then "crash"
+    src = msgs
+    key = F.pmod(F.xxhash64(F.col("message_id")), F.lit(6))
+    for chunk in range(3):
+        cdir = os.path.join(str(tmp_path), "extract", f"chunk={chunk}")
+        os.makedirs(cdir, exist_ok=True)
+        ckpt.write_stage(transform(src.where(key == chunk)), cdir, f"extract/chunk={chunk}")
+    done_mtimes = {
+        c: os.path.getmtime(os.path.join(str(tmp_path), "extract", f"chunk={c}", ckpt.MARKER))
+        for c in range(3)
+    }
+
+    # restart: full chunked stage — finished chunks must be skipped untouched
+    out = ckpt.chunked_stage(spark, str(tmp_path), "extract", src, transform, n_chunks=6)
+    assert out.count() == 300
+    for c in range(3):
+        m = os.path.getmtime(os.path.join(str(tmp_path), "extract", f"chunk={c}", ckpt.MARKER))
+        assert m == done_mtimes[c], f"chunk {c} was recomputed"
+    # all six chunk markers + the stage marker now exist
+    assert ckpt.stage_done(os.path.join(str(tmp_path), "extract"))
+
+
+def test_full_pipeline_and_resume(spark, tmp_path):
+    wd = str(tmp_path / "kg")
+    s1 = run_pipeline(spark, wd, n_messages=400, n_chunks=4)
+    assert s1["messages"] == 400
+    assert s1["triples"] > 0 and s1["nodes"] > 0 and s1["vendors"] > 0
+
+    # resume: everything checkpointed → stage wall times collapse
+    s2 = run_pipeline(spark, wd, n_messages=400, n_chunks=4)
+    assert s2["triples"] == s1["triples"]
+    assert s2["nodes"] == s1["nodes"]
+    # extraction is pure read on resume — at least 3x faster than first run
+    assert s2["stage_seconds"]["extract"] < s1["stage_seconds"]["extract"]
+
+    # canonical triples keep the 4 predicates only
+    preds = {r["pred"] for r in
+             spark.read.parquet(f"{wd}/graph_triples/data").select("pred").distinct().collect()}
+    assert preds <= {"sells", "priced_at", "located_in", "contact"}
+
+    marker = json.load(open(f"{wd}/scorecard/{ckpt.MARKER}"))
+    assert marker["rows"] == s1["vendors"]
