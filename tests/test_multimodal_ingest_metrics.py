@@ -1,0 +1,106 @@
+"""Multimodal plumbing, ZIP/CSV ingest, and distributed NER metrics."""
+
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from amharic_ecommerce_data_extractor_spark.operators import metrics as mx
+from amharic_ecommerce_data_extractor_spark.operators.multimodal import (
+    extract_image_features,
+    media_profile,
+    sample_video_frames,
+)
+from amharic_ecommerce_data_extractor_spark.sources.ingest import read_any, read_zip_of_csvs
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", "image/jpeg", b"\xff\xd8fakejpegbytes", {}),
+        (2, "image", "image/png", b"\x89PNGother", {}),
+        (3, "video", "video/mp4", b"mp4data", {"n_frames": "95"}),
+        (4, "audio", "audio/ogg", b"oggdata", {}),
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, media_type string, mime string, payload binary, meta map<string,string>")
+
+
+def test_image_features(spark, media):
+    rows = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert set(rows) == {1, 2}
+    r = rows[1]
+    assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+    assert r["n_bytes"] == len(b"\xff\xd8fakejpegbytes")
+    assert len(r["feature"]) == 16
+    # deterministic
+    again = {x["media_id"]: x for x in extract_image_features(media).collect()}
+    assert again[1]["payload_sha256"] == r["payload_sha256"]
+    assert again[1]["feature"] == r["feature"]
+
+
+def test_real_codec_is_stubbed(spark, media):
+    real = spark.createDataFrame(
+        [(9, "image", "image/jpeg", b"REAL-payload", {})],
+        "media_id long, media_type string, mime string, payload binary, meta map<string,string>")
+    with pytest.raises(Exception, match="NotImplementedError|real image decoding"):
+        extract_image_features(real).collect()
+
+
+def test_video_frame_sampling_and_profile(spark, media):
+    frames = [r["frame_idx"] for r in sample_video_frames(media, every_n=30).collect()]
+    assert frames == [0, 30, 60, 90]
+    prof = {r["media_type"]: r["n"] for r in media_profile(media).collect()}
+    assert prof == {"image": 2, "video": 1, "audio": 1}
+
+
+def test_zip_ingest(spark, tmp_path):
+    z = tmp_path / "data.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("a.csv", "id,v\n1,x\n2,y\n")
+        zf.writestr("b.csv", "id,v\n3,z\n")
+        zf.writestr("empty.csv", "")
+        zf.writestr("notes.txt", "ignore me")
+    df = read_zip_of_csvs(spark, str(z), scratch_dir=str(tmp_path / "scratch"))
+    assert sorted((r["id"], r["v"]) for r in df.collect()) == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_read_any_dispatch(spark, tmp_path, sf_dir):
+    df = read_any(spark, f"{sf_dir}/region.parquet")
+    assert df.count() == 5
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,2\n")
+    assert read_any(spark, str(p)).collect()[0]["a"] == 1
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_any(spark, "x.xyz")
+
+
+def test_bio_spans():
+    assert mx._bio_spans(["B-LOC", "I-LOC", "O", "B-PRICE"]) == [("LOC", 0, 2), ("PRICE", 3, 4)]
+    # I- after different type starts a new span; corrupted labels are O
+    assert mx._bio_spans(["I-LOC", "I-PRICE", "I-LOCገ"]) == [("LOC", 0, 1), ("PRICE", 1, 2)]
+    assert mx._bio_spans([]) == []
+
+
+def test_span_prf_and_confusion(spark):
+    gold = spark.createDataFrame(
+        [(0, ["B-LOC", "I-LOC", "O"]), (1, ["B-PRICE", "O", "B-LOC"])],
+        "sid long, labels array<string>")
+    pred = spark.createDataFrame(
+        [(0, ["B-LOC", "I-LOC", "O"]), (1, ["B-PRICE", "I-PRICE", "O"])],
+        "sid long, labels array<string>")
+    prf = {r["etype"]: r for r in mx.span_prf(
+        mx.spans_table(pred, "sid", "labels"),
+        mx.spans_table(gold, "sid", "labels")).collect()}
+    assert prf["LOC"]["tp"] == 1 and prf["LOC"]["n_gold"] == 2
+    assert prf["LOC"]["recall"] == 0.5 and prf["LOC"]["precision"] == 1.0
+    # PRICE: pred span is (1,0,2), gold is (1,0,1) → no exact match
+    assert prf["PRICE"]["tp"] == 0
+
+    pr = pred.select("sid", F.posexplode("labels").alias("pos", "label"))
+    gr = gold.select("sid", F.posexplode("labels").alias("pos", "label"))
+    conf = {(r["true"], r["predicted"]): r["n"] for r in mx.token_confusion(pr, gr).collect()}
+    assert conf[("B-LOC", "B-LOC")] == 1
+    assert conf[("O", "I-PRICE")] == 1
+    assert conf[("B-LOC", "O")] == 1

@@ -1,0 +1,70 @@
+"""Structured Streaming: incremental triple extraction and windowed vendor
+activity, drained with Trigger.AvailableNow and compared to batch output."""
+
+from pyspark.sql import functions as F
+
+from amharic_ecommerce_data_extractor_spark.data.synthetic import generate_messages
+from amharic_ecommerce_data_extractor_spark.operators.extract import extract_entities
+from amharic_ecommerce_data_extractor_spark.operators.triples import emit_triples
+from amharic_ecommerce_data_extractor_spark.streaming.stream import (
+    read_message_stream,
+    run_stream_once,
+    streaming_triples,
+    windowed_vendor_activity,
+)
+
+
+def test_streaming_triples_match_batch(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    msgs = generate_messages(spark, n_rows=200, n_vendors=8)
+    msgs.write.parquet(src)
+
+    stream = streaming_triples(read_message_stream(spark, src, max_files_per_trigger=2))
+    assert stream.isStreaming
+    run_stream_once(stream, out, ck)
+
+    got = {tuple(r) for r in spark.read.parquet(out)
+           .select("subj", "pred", "obj", "message_id").collect()}
+    want = {tuple(r) for r in emit_triples(extract_entities(spark.read.parquet(src)))
+            .select("subj", "pred", "obj", "message_id").collect()}
+    assert got == want and len(got) > 0
+
+
+def test_streaming_resume_processes_only_new_files(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    generate_messages(spark, n_rows=100, n_vendors=5).write.parquet(src)
+    run_stream_once(streaming_triples(read_message_stream(spark, src)), out, ck)
+    n1 = spark.read.parquet(out).count()
+
+    # append a second batch of files; restart drains only the delta
+    generate_messages(spark, n_rows=60, n_vendors=5).withColumn(
+        "message_id", F.col("message_id") + 1_000_000
+    ).write.mode("append").parquet(src)
+    run_stream_once(streaming_triples(read_message_stream(spark, src)), out, ck)
+    n2 = spark.read.parquet(out).count()
+    assert n2 > n1
+    # no duplicates for the original ids
+    dup = (spark.read.parquet(out)
+           .groupBy("subj", "pred", "obj", "message_id").count()
+           .where(F.col("count") > 1).count())
+    assert dup == 0
+
+
+def test_windowed_vendor_activity(spark, tmp_path):
+    src = str(tmp_path / "in")
+    generate_messages(spark, n_rows=150, n_vendors=5).write.parquet(src)
+    agg = windowed_vendor_activity(read_message_stream(spark, src))
+    assert agg.isStreaming
+    out = str(tmp_path / "winout")
+    ck = str(tmp_path / "winck")
+    q = (agg.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # watermark append-mode may hold back the tail window; totals bounded by input
+    got = spark.read.parquet(out)
+    assert got.columns == ["window_start", "vendor", "n_posts", "views"]
