@@ -425,3 +425,187 @@ def q21(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return knn_bruteforce(queries, emb, k=3).select("query_id", "neighbor_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Window top-k per group, semi/anti joins, sessionization, percentiles
+# ---------------------------------------------------------------------------
+
+@_q("q22_top3_events_per_user", """
+SELECT user_id, event_id, rnk FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events)
+WHERE rnk <= 3
+""")
+def q22(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (_t(spark, sf_dir, "events")
+            .select("user_id", "event_id", F.row_number().over(w).alias("rnk"))
+            .where(F.col("rnk") <= 3))
+
+
+@_q("q23_customers_without_orders", """
+SELECT c_mktsegment, count(*) AS n_inactive
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""")
+def q23(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_mktsegment").agg(F.count("*").alias("n_inactive")))
+
+
+@_q("q24_customers_with_orders", """
+SELECT c_mktsegment, count(*) AS n_active
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""")
+def q24(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .groupBy("c_mktsegment").agg(F.count("*").alias("n_active")))
+
+
+@_q("q25_sessionize", """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             ts) > 3600
+                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sess AS (
+  SELECT user_id, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked)
+SELECT user_id, session_id, count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+""")
+def q25(spark, sf_dir):
+    # gap-based sessionization (1h inactivity): lag + running sum of
+    # session-start markers — the batch twin of streaming session windows
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_sec = F.col("ts").cast("timestamp").cast("double") - prev_ts.cast("timestamp").cast("double")
+    marked = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(prev_ts.isNull() | (gap_sec > 3600), 1).otherwise(0).alias("is_new"))
+    w2 = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sess = marked.select("user_id", "event_id", F.sum("is_new").over(w2).alias("session_id"))
+    return sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+
+
+@_q("q26_value_percentiles", """
+SELECT event_type,
+       round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
+       round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 6) AS p95
+FROM events GROUP BY event_type
+""")
+def q26(spark, sf_dir):
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup coverage: exact dedup over a corpus with guaranteed duplicates
+# (documents unioned with itself, ids offset), plus rows-only profiles for
+# the non-SQL-expressible hash structures
+# ---------------------------------------------------------------------------
+
+@_q("q27_dedup_union_exact", """
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+),
+ranked AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM unioned)
+SELECT count(*) AS n_kept, sum(length(text)) AS total_chars
+FROM ranked WHERE rn = 1
+""")
+def q27(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionByName(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = u.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return kept.agg(F.count("*").alias("n_kept"),
+                    F.sum(F.length("text")).alias("total_chars"))
+
+
+@_q("q28_doc_quality_scores", """
+WITH scored AS (
+  SELECT lang,
+         0.3 * (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END)
+       + 0.3 * (len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+                / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1))
+       + 0.3 * least((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                      / greatest(length(text), 1)) * 1.25, 1.0)
+       + 0.1 * (1.0 - least((length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                             / greatest(length(text), 1)) * 4, 1.0)) AS q
+  FROM documents)
+SELECT lang, round(avg(q), 4) AS avg_quality, count(*) AS n
+FROM scored GROUP BY lang
+""")
+def q28(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.functions.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return (d.select("lang", quality_score(F.col("text")).alias("q"))
+            .groupBy("lang").agg(F.round(F.avg("q"), 4).alias("avg_quality"),
+                                 F.count("*").alias("n")))
+
+
+@_q("q29_simhash_bucket_profile")  # xxhash64-based: no DuckDB twin (rows-only)
+def q29(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.dedup import simhash64
+
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(F.substring(simhash64(F.col("text")), 1, 8).alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("bucket")).limit(20))
+
+
+@_q("q30_knn_lsh_recall")  # probabilistic LSH: no SQL twin (rows-only)
+def q30(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_lsh,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = knn_bruteforce(queries, emb, k=5).select("query_id", "neighbor_id")
+    approx = knn_lsh(queries, emb, k=5).select("query_id", "neighbor_id")
+    hit = exact.join(approx, on=["query_id", "neighbor_id"]).groupBy("query_id") \
+        .agg(F.count("*").alias("n_hits"))
+    return (exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+            .join(hit, "query_id", "left")
+            .select("query_id",
+                    F.round(F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), 4)
+                    .alias("recall_at_5"))
+            .orderBy("query_id"))
+
+
+@_q("q31_minhash_near_dup_pairs")  # MinHash-LSH: no SQL twin (rows-only)
+def q31(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.dedup import (
+        minhash_duplicate_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionByName(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    pairs = minhash_duplicate_pairs(u, threshold=0.9)
+    return pairs.agg(F.count("*").alias("n_pairs"),
+                     F.round(F.avg("jaccard"), 6).alias("avg_jaccard"))
