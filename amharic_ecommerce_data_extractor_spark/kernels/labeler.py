@@ -72,6 +72,7 @@ PRODUCT_DESCRIPTORS: frozenset[str] = frozenset({
 PRICE_TRIGGERS: frozenset[str] = frozenset({"ዋጋ", "ዋጋ፦", "ዋጋ:-", "price-"})
 
 _NUM_RE = re.compile(r"^\d[\d,\.]*$")
+_LOC_KW_RE = re.compile("|".join(re.escape(k) for k in LOCATION_KEYWORDS))
 _HAS_DIGIT_RE = re.compile(r"\d")
 _NUM_SPLIT_RE = re.compile(r"(\d[\d,\.]*)")
 _TOKEN_RE = re.compile(r"\b\w+\b|[.,;!?#@%/:-]")
@@ -124,9 +125,11 @@ def label_tokens(tokens: list[str], with_contact_rule: bool = True) -> list[tupl
     """
     seq: list[tuple[str, str]] = []
     n = len(tokens)
+    lows = [t.lower() for t in tokens]  # one lower() per token, reused below
     i = 0
     while i < n:
         tok = tokens[i]
+        low = lows[i]
 
         # Rule 0 (extension): phone-shaped token → contact info
         if with_contact_rule and _PHONE_RE.match(tok):
@@ -135,14 +138,14 @@ def label_tokens(tokens: list[str], with_contact_rule: bool = True) -> list[tupl
             continue
 
         # Rule 1a: bare number followed by 'ብር'
-        if _is_num(tok) and i + 1 < n and tokens[i + 1].lower() == "ብር":
+        if _is_num(tok) and i + 1 < n and lows[i + 1] == "ብር":
             seq.append((tok, "B-PRICE"))
             seq.append((tokens[i + 1], "I-PRICE"))
             i += 2
             continue
 
         # Rule 1b: glued digits+'ብር' inside one token (e.g. '550ብር')
-        if "ብር" in tok.lower() and _HAS_DIGIT_RE.search(tok):
+        if "ብር" in low and _HAS_DIGIT_RE.search(tok):
             for piece in _NUM_SPLIT_RE.split(tok):
                 if not piece:
                     continue
@@ -157,29 +160,30 @@ def label_tokens(tokens: list[str], with_contact_rule: bool = True) -> list[tupl
             continue
 
         # Rule 1c: price trigger word, with number (+ 'ብር') lookahead
-        if tok.lower() in PRICE_TRIGGERS:
+        if low in PRICE_TRIGGERS:
             seq.append((tok, "B-PRICE"))
             i += 1
             if i < n and _is_num(tokens[i]):
                 seq.append((tokens[i], "I-PRICE"))
                 i += 1
-                if i < n and tokens[i].lower() == "ብር":
+                if i < n and lows[i] == "ብር":
                     seq.append((tokens[i], "I-PRICE"))
                     i += 1
             continue
 
-        # Rule 2: location gazetteer hit (substring) + greedy continuation
-        # (with the contact extension on, phone-shaped tokens terminate the
-        # run instead of being consumed as location numbers)
-        if any(kw in tok for kw in LOCATION_KEYWORDS):
+        # Rule 2: location gazetteer hit (substring — one compiled
+        # alternation scan, equivalent to any(kw in tok)) + greedy
+        # continuation (with the contact extension on, phone-shaped tokens
+        # terminate the run instead of being consumed as location numbers)
+        if _LOC_KW_RE.search(tok):
             j = i
             run: list[str] = []
             while j < n:
                 cur = tokens[j]
                 if with_contact_rule and _PHONE_RE.match(cur):
                     break
-                if (any(kw in cur for kw in LOCATION_KEYWORDS) or _is_num(cur)
-                        or cur.lower() in LOCATION_CONTEXT_WORDS):
+                if (_LOC_KW_RE.search(cur) or _is_num(cur)
+                        or lows[j] in LOCATION_CONTEXT_WORDS):
                     run.append(cur)
                     j += 1
                 else:
@@ -191,12 +195,11 @@ def label_tokens(tokens: list[str], with_contact_rule: bool = True) -> list[tupl
                 continue
 
         # Rule 3: product gazetteer hit (exact lower match) + descriptor run
-        low = tok.lower()
         if low in ENGLISH_PRODUCT_INDICATORS or low in AMHARIC_PRODUCT_INDICATORS:
             j = i + 1
             run = [tok]
             while j < n:
-                nxt = tokens[j].lower()
+                nxt = lows[j]
                 if with_contact_rule and _PHONE_RE.match(tokens[j]):
                     break
                 if (nxt in ENGLISH_PRODUCT_INDICATORS or nxt in AMHARIC_PRODUCT_INDICATORS

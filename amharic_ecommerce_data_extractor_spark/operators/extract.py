@@ -99,8 +99,18 @@ def extract_entities(
     backend: str = "rules",
     with_contact_rule: bool = True,
     model_dir: str | None = None,
+    target_partitions: int | None = None,
 ) -> DataFrame:
-    """messages → messages + entity columns. Narrow plan, zero shuffles."""
+    """messages → messages + entity columns. Narrow plan, zero shuffles.
+
+    target_partitions: optionally repartition the input first. With exactly
+    one task per core a single straggler idles the whole stage tail; 2-4×
+    cores gives the scheduler units to pipeline (classic long-stage
+    load-balancing). Worth one round-robin shuffle when the Python stage
+    dominates, which it does.
+    """
+    if target_partitions:
+        df = df.repartition(target_partitions)
     out_schema = T.StructType(list(df.schema.fields) + ENTITY_FIELDS)
     in_cols = [f.name for f in df.schema.fields]
 

@@ -57,10 +57,11 @@ def run_kg(spark, n_messages: int) -> dict:
         msgs_path = f"{workdir}/messages"
         generate_messages(spark, n_rows=n_messages, n_vendors=50).write.parquet(msgs_path)
 
+        cores = spark.sparkContext.defaultParallelism
         t0 = time.perf_counter()
         msgs = spark.read.parquet(msgs_path)
         ext_path = f"{workdir}/extracted"
-        extract_entities(msgs).write.parquet(ext_path)
+        extract_entities(msgs, target_partitions=cores * 3).write.parquet(ext_path)
         t_extract = time.perf_counter() - t0
 
         extracted = spark.read.parquet(ext_path)
@@ -113,16 +114,25 @@ def run_full(sf_dir: str, cpus: int) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
-    """Same KG job, same input, two parallelism levels, fresh JVM each."""
+def run_scaling(sf_dir: str, levels=(8, 32), messages: int | None = None,
+                repeats: int = 3) -> dict:
+    """Same KG job, same input, two parallelism levels, fresh JVM each.
+    Best-of-N per level: the sandbox host carries background load, so the
+    minimum is the least-contended (most representative) measurement."""
+    n = messages or 400_000
     results = {}
     for cpus in levels:
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
-        out = subprocess.run(
-            [sys.executable, __file__, "--kg-only"],
-            env=env, capture_output=True, text=True, check=True,
-        )
-        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        runs = []
+        for _ in range(repeats):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+            out = subprocess.run(
+                [sys.executable, __file__, "--kg-only", "--messages", str(n)],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        best = max(runs, key=lambda r: r["kg"]["triples_per_sec"])
+        best["kg"]["all_runs_triples_per_sec"] = [r["kg"]["triples_per_sec"] for r in runs]
+        results[cpus] = best
     lo, hi = min(levels), max(levels)
     tput_lo = results[lo]["kg"]["triples_per_sec"]
     tput_hi = results[hi]["kg"]["triples_per_sec"]
@@ -133,6 +143,7 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
         "unit": "ratio",
         "levels": {str(k): v["kg"] for k, v in results.items()},
         "throughput": {str(lo): tput_lo, str(hi): tput_hi},
+        "messages": n,
         "sf_dir": sf_dir,
     }
 
@@ -142,13 +153,16 @@ def main() -> None:
     ap.add_argument("--kg-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--messages", type=int, default=None)
+    ap.add_argument("--levels", default="8,32",
+                    help="comma-separated parallelism levels for --scaling")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     if args.scaling:
-        print(json.dumps(run_scaling(sf_dir)))
+        levels = tuple(int(x) for x in args.levels.split(","))
+        print(json.dumps(run_scaling(sf_dir, levels=levels, messages=args.messages)))
         return
     if args.kg_only:
         from amharic_ecommerce_data_extractor_spark.session import get_spark
