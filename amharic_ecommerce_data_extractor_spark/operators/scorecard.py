@@ -23,7 +23,9 @@ Scale design: everything is an algebraic aggregate — per-message price
 sums/counts are computed BEFORE the groupBy so the vendor aggregation is one
 partial-aggregated (map-side combined) shuffle even under mega-vendor skew;
 the argmax is max_by over a struct (also algebraic), NOT a window sort. The
-global min/max for normalization is a 1-row broadcast cross-join.
+global min/max for normalization is a single-partition window over the tiny
+vendor table (avoids a stats-aggregate diamond that would recompute the
+upstream extraction twice).
 """
 
 from __future__ import annotations
@@ -78,18 +80,18 @@ def vendor_scorecard(extracted: DataFrame, vendor_col: str = "repo") -> DataFram
         F.try_element_at("top_post.price_values", F.lit(1)).alias("top_product_price"),
     ).withColumn("avg_price_filled", F.coalesce("avg_price_etb", F.lit(0.0)))
 
-    # global min/max: tiny 1-row aggregate, broadcast cross-joined
-    stats = scorecard.agg(
-        *[F.min(m).alias(f"min_{m}") for m in _METRICS],
-        *[F.max(m).alias(f"max_{m}") for m in _METRICS],
-    )
-    scored = scorecard.crossJoin(F.broadcast(stats))
+    # global min/max over an unpartitioned window: the vendor table is tiny
+    # (|vendors| << |messages|), so one single-partition pass is cheap AND it
+    # avoids the diamond plan of a stats-aggregate cross join, which would
+    # recompute the whole upstream (including the Python extraction) twice
+    from pyspark.sql.window import Window
 
+    w_all = Window.partitionBy()
+    scored = scorecard
     score = F.lit(0.0)
     for m, w in _WEIGHTS.items():
-        norm = F.when(
-            F.col(f"max_{m}") == F.col(f"min_{m}"), F.lit(0.0)
-        ).otherwise((F.col(m) - F.col(f"min_{m}")) / (F.col(f"max_{m}") - F.col(f"min_{m}")))
+        lo, hi = F.min(m).over(w_all), F.max(m).over(w_all)
+        norm = F.when(hi == lo, F.lit(0.0)).otherwise((F.col(m) - lo) / (hi - lo))
         score = score + norm * F.lit(w)
 
     return (

@@ -1,0 +1,89 @@
+"""Physical-plan audits: these tests pin the *plan shapes* that make the
+engine scale — predicate pushdown into the parquet scan, column pruning,
+broadcast joins for dimensions, whole-stage codegen coverage, and the
+narrow (shuffle-free) extraction stage."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from amharic_ecommerce_data_extractor_spark.data.synthetic import generate_messages
+from amharic_ecommerce_data_extractor_spark.operators.extract import extract_entities
+from amharic_ecommerce_data_extractor_spark.queries import SPARK_QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where(F.col("l_shipdate") <= "1995-01-01")
+          .select("l_orderkey", "l_quantity"))
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q")))
+    plan = _plan(df)
+    assert "ReadSchema: struct<l_quantity:double,l_returnflag:string>" in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(SPARK_QUERIES["q02_revenue_by_segment"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_is_fully_codegen(spark, sf_dir):
+    df = SPARK_QUERIES["q01_pricing_summary"](spark, sf_dir)
+    df.collect()  # AQE finalizes the plan at execution
+    plan = _plan(df)
+    # '*(n)' prefixes mark whole-stage-codegen'd operators in the final plan
+    assert "*(" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # map-side partial aggregation before the exchange
+    assert plan.index("partial_sum") > 0
+
+
+def test_extraction_stage_is_narrow(spark):
+    msgs = generate_messages(spark, n_rows=50, n_vendors=5)
+    ext = extract_entities(msgs)  # no repartition: must add NO shuffle
+    plan = _plan(ext)
+    assert "Exchange" not in plan, "extraction must not shuffle"
+    assert "MapInPandas" in plan
+
+
+def test_triples_have_no_shuffle(spark):
+    from amharic_ecommerce_data_extractor_spark.operators.triples import emit_triples
+
+    msgs = generate_messages(spark, n_rows=50, n_vendors=5)
+    plan = _plan(emit_triples(extract_entities(msgs)))
+    assert "Exchange" not in plan, "triple emission must stay narrow"
+
+
+def test_scorecard_plan_shape(spark):
+    from amharic_ecommerce_data_extractor_spark.operators.scorecard import vendor_scorecard
+
+    msgs = generate_messages(spark, n_rows=50, n_vendors=5)
+    plan = _plan(vendor_scorecard(extract_entities(msgs)))
+    # exactly one Python pass per stage — generator + extractor, with NO
+    # diamond recompute (a stats cross join would double these) — and one
+    # vendor hash shuffle; normalization runs in the single-partition window
+    assert plan.count("MapInPandas") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_scan_partition_sizing(spark, sf_dir):
+    # files.maxPartitionBytes default keeps small sf files in few partitions;
+    # the session must still give the big sf real parallelism potential
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert df.rdd.getNumPartitions() >= 1
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) >= 4
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
