@@ -1,0 +1,253 @@
+"""Entity extraction as PURE JVM column expressions — zero Python anywhere.
+
+This is the scale path of the extraction operator: the same semantics as
+``kernels.labeler`` (message tokenizer + BIO rule automaton + entity grouping
++ price parsing), compiled into Spark higher-order array functions. Parity
+with the Python kernel is pinned token-for-token by tests on the full
+synthetic corpus.
+
+Why: the Python kernel is Arrow-batched but still bound by per-core Python
+string throughput (and memory bandwidth at high parallelism); this path keeps
+the whole pipeline in Tungsten — compact UTF8 strings, no serialization —
+so extraction scales like any other codegen'd stage.
+
+How the sequential automaton becomes data-parallel expressions:
+1. tokenizer: regexp_extract_all + per-token conditional sub-splitting
+   (transform → flatten).
+2. per-token flags (is_num / gazetteer / phone / descriptors): one boolean
+   array per rule via transform.
+3. greedy runs: a REVERSE fold precomputes, for every index, where its
+   location/product run would end — turning the kernel's inner while-loops
+   into array lookups.
+4. the main rule dispatch: a single LEFT fold over token indices carrying
+   (skip_until, labels) state — lookahead is element_at on the precomputed
+   arrays.
+5. entity grouping: run-start/run-break boolean algebra + slice/array_join
+   (no fold needed).
+
+One deliberate omission: the kernel's Rule 1b (digits and 'ብር' glued in ONE
+token) is provably unreachable after the message tokenizer — any \\w+ token
+containing 'ብር' with length > 2 is split into a digit-free head + 'ብር', and
+the only surviving token containing 'ብር' is the bare 'ብር' itself (no digit).
+The parity tests exercise exactly the fused tokenizer+labeler path and
+confirm equality.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, functions as F
+
+from ..kernels import labeler as lb
+
+# ---------------------------------------------------------------------------
+# literal gazetteers (lit arrays built once per query)
+# ---------------------------------------------------------------------------
+
+_LOC_KW_PATTERN = "|".join(re.escape(k) for k in lb.LOCATION_KEYWORDS)
+_PHONE_PATTERN = r"^(\+?2519\d{8}|09\d{8})$"
+_NUM_PATTERN = r"^\d[\d,\.]*$"
+
+_PROD_SET = sorted(lb.ENGLISH_PRODUCT_INDICATORS | lb.AMHARIC_PRODUCT_INDICATORS)
+_DESC_SET = sorted(lb.PRODUCT_DESCRIPTORS)
+_LOC_CTX_SET = sorted(lb.LOCATION_CONTEXT_WORDS)
+_TRIGGER_SET = sorted(lb.PRICE_TRIGGERS)
+
+
+def _lit_arr(values):
+    return F.array(*[F.lit(v) for v in values])
+
+
+# ---------------------------------------------------------------------------
+# tokenizer (kernels.labeler.tokenize_message semantics)
+# ---------------------------------------------------------------------------
+
+def tokenize_message_expr(col) -> Column:
+    pre = F.translate(col, "፦•", ":")
+    raw = F.regexp_extract_all(pre, F.lit(r"(?U)\b\w+\b|[.,;!?#@%/:-]"), 0)
+
+    def subsplit(t):
+        low = F.lower(t)
+        # case A: token glues 'ብር' (len > 2): head (if any) + 'ብር'; tail dropped
+        head = F.substring_index(t, "ብር", 1)
+        case_a = F.when(head != "", F.array(head, F.lit("ብር"))).otherwise(F.array(F.lit("ብር")))
+        # case B: 'ዋጋ' with ':' → split on [:\-]; parts[0] + non-empty rest
+        parts_b = F.split(t, r"[:\-]", -1)
+        case_b = F.concat(
+            F.slice(parts_b, 1, 1),
+            F.filter(F.slice(parts_b, 2, F.greatest(F.size(parts_b) - 1, F.lit(0))),
+                     lambda p: p != ""),
+        )
+        # case C: dimension 'x' tokens → parts[0], 'x', parts[1] if non-empty
+        parts_c = F.split(t, "x", -1)
+        no_x = F.regexp_replace(t, "x", "")
+        case_c = F.concat(
+            F.slice(parts_c, 1, 1), F.array(F.lit("x")),
+            F.filter(F.slice(parts_c, 2, 1), lambda p: p != ""),
+        )
+        return (
+            F.when(t.contains("ብር") & (F.length(t) > 2), case_a)
+            .when(t.contains("ዋጋ") & t.contains(":"), case_b)
+            .when(t.contains("x") & (no_x.rlike(r"^\d+$") | no_x.rlike(r"\p{L}")), case_c)
+            .otherwise(F.array(t))
+        )
+
+    flat = F.flatten(F.transform(raw, subsplit))
+    return F.filter(flat, lambda x: F.trim(x) != "")
+
+
+# ---------------------------------------------------------------------------
+# BIO labeling (kernels.labeler.label_tokens semantics)
+# ---------------------------------------------------------------------------
+
+def _reverse_run_end(cont_flags: Column, n: Column) -> Column:
+    """cont_flags: array<boolean>. Returns array<int> end where end[i] is the
+    first index j >= i with !cont[j] (or n). Reverse fold, prepending."""
+    idx_desc = F.sequence(n - 1, F.lit(0), F.lit(-1))
+    folded = F.aggregate(
+        idx_desc,
+        F.array(n.cast("int")),
+        lambda acc, j: F.concat(
+            F.array(F.when(F.element_at(cont_flags, j + 1), F.element_at(acc, 1))
+                    .otherwise(j.cast("int"))),
+            acc,
+        ),
+    )
+    return F.slice(folded, 1, n.cast("int"))
+
+
+def label_tokens_expr(tokens: Column, with_contact_rule: bool = True) -> Column:
+    """array<string> tokens → array<string> BIO labels (same length)."""
+    n = F.size(tokens)
+    lows = F.transform(tokens, F.lower)
+    is_num = F.transform(tokens, lambda t: t.rlike(_NUM_PATTERN))
+    is_phone = F.transform(tokens, lambda t: t.rlike(_PHONE_PATTERN) & F.lit(with_contact_rule))
+    is_loc_kw = F.transform(tokens, lambda t: t.rlike(_LOC_KW_PATTERN))
+    is_ctx = F.transform(lows, lambda t: F.array_contains(_lit_arr(_LOC_CTX_SET), t))
+    is_prod = F.transform(lows, lambda t: F.array_contains(_lit_arr(_PROD_SET), t))
+    is_desc = F.transform(lows, lambda t: F.array_contains(_lit_arr(_DESC_SET), t))
+    is_trig = F.transform(lows, lambda t: F.array_contains(_lit_arr(_TRIGGER_SET), t))
+
+    loc_cont = F.zip_with(
+        F.zip_with(is_loc_kw, is_num, lambda a, b: a | b),
+        F.zip_with(is_ctx, is_phone, lambda c, p: c & ~p),
+        lambda ab, cp: (ab | cp),
+    )
+    # cont = (loc_kw | num | ctx) & !phone   — rebuild precisely:
+    loc_cont = F.zip_with(
+        F.zip_with(is_loc_kw, is_num, lambda a, b: a | b),
+        F.zip_with(is_ctx, is_phone, lambda c, p: F.struct(c.alias("c"), p.alias("p"))),
+        lambda ab, s: (ab | s["c"]) & ~s["p"],
+    )
+    prod_cont = F.zip_with(
+        F.zip_with(is_prod, is_num, lambda a, b: a | b),
+        F.zip_with(is_desc, is_phone, lambda c, p: F.struct(c.alias("c"), p.alias("p"))),
+        lambda ab, s: (ab | s["c"]) & ~s["p"],
+    )
+    loc_end = _reverse_run_end(loc_cont, n)
+    prod_end = _reverse_run_end(prod_cont, n)
+
+    def step(acc, i):
+        # acc: struct(skip int, labels array<string>); i: 0-based index
+        e = lambda arr: F.element_at(arr, i + 1)       # this token
+        e2 = lambda arr: F.element_at(arr, i + 2)      # lookahead +1
+        e3 = lambda arr: F.element_at(arr, i + 3)      # lookahead +2
+        lab = acc["labels"]
+
+        phone_hit = e(is_phone)
+        rule_phone = F.struct((i + 1).cast("int").alias("skip"),
+                              F.concat(lab, F.array(F.lit("B-CONTACT_INFO"))).alias("labels"))
+
+        r1a_ok = e(is_num) & (i + 1 < n) & (e2(lows) == "ብር")
+        rule_1a = F.struct((i + 2).cast("int").alias("skip"),
+                           F.concat(lab, F.array(F.lit("B-PRICE"), F.lit("I-PRICE"))).alias("labels"))
+
+        # rule 1c: trigger [+ num [+ 'ብር']]
+        has_num = (i + 1 < n) & e2(is_num)
+        has_birr = (i + 2 < n) & (e3(lows) == "ብር")
+        trig_len = F.when(has_num & has_birr, F.lit(3)).when(has_num, F.lit(2)).otherwise(F.lit(1))
+        trig_labels = F.slice(F.array(F.lit("B-PRICE"), F.lit("I-PRICE"), F.lit("I-PRICE")),
+                              1, trig_len)
+        rule_1c = F.struct((i + trig_len).cast("int").alias("skip"),
+                           F.concat(lab, trig_labels).alias("labels"))
+
+        # rule 2: location run [i, loc_end[i])
+        lend = e(loc_end)
+        loc_ok = e(is_loc_kw) & (lend > i)
+        loc_labels = F.concat(F.array(F.lit("B-LOC")),
+                              F.array_repeat(F.lit("I-LOC"), (lend - i - 1).cast("int")))
+        rule_2 = F.struct(lend.cast("int").alias("skip"),
+                          F.concat(lab, loc_labels).alias("labels"))
+
+        # rule 3: product run: token i + continuation [i+1, prod_end[i+1])
+        pend = F.when(i + 1 < n, e2(prod_end)).otherwise((i + 1).cast("int"))
+        prod_labels = F.concat(F.array(F.lit("B-PRODUCT")),
+                               F.array_repeat(F.lit("I-PRODUCT"), (pend - i - 1).cast("int")))
+        rule_3 = F.struct(pend.cast("int").alias("skip"),
+                          F.concat(lab, prod_labels).alias("labels"))
+
+        rule_o = F.struct((i + 1).cast("int").alias("skip"),
+                          F.concat(lab, F.array(F.lit("O"))).alias("labels"))
+
+        fired = (
+            F.when(phone_hit, rule_phone)
+            .when(r1a_ok, rule_1a)
+            .when(e(is_trig), rule_1c)
+            .when(loc_ok, rule_2)
+            .when(e(is_prod), rule_3)
+            .otherwise(rule_o)
+        )
+        return F.when(i < acc["skip"], acc).otherwise(fired)
+
+    init = F.struct(F.lit(0).cast("int").alias("skip"),
+                    F.array().cast("array<string>").alias("labels"))
+    folded = F.aggregate(F.sequence(F.lit(0), n - 1), init, step)
+    return F.when(n > 0, folded["labels"]).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# entity grouping (kernels.labeler.group_entities semantics)
+# ---------------------------------------------------------------------------
+
+def _runs(tokens: Column, labels: Column):
+    """start/break boolean algebra over the BIO sequence."""
+    n = F.size(labels)
+    etypes = F.transform(labels, lambda l: F.when(
+        l.startswith("B-") | l.startswith("I-"), F.substring(l, 3, 2147483647)))
+    known = F.transform(etypes, lambda t: t.isin("PRODUCT", "PRICE", "LOC", "CONTACT_INFO"))
+    is_b = F.transform(labels, lambda l: l.startswith("B-"))
+    idx = F.sequence(F.lit(0), n - 1)
+    start = F.transform(idx, lambda i: F.element_at(known, i + 1) & (
+        F.element_at(is_b, i + 1)
+        | (i == 0)
+        | ~F.coalesce(F.element_at(known, i), F.lit(False))
+        | (F.coalesce(F.element_at(etypes, i), F.lit(""))
+           != F.element_at(etypes, i + 1))
+    ))
+    brk = F.transform(idx, lambda i: ~F.element_at(known, i + 1) | F.element_at(start, i + 1))
+    # next break strictly after i
+    nb = _reverse_run_end(F.transform(idx, lambda i: F.when(
+        i + 1 < n, ~F.element_at(brk, i + 2)).otherwise(F.lit(False))), n)
+    # nb[i] = first j>=i with "no-break-after(j)" false… we need first j>i with brk[j]:
+    # reuse _reverse_run_end on cont[i] := !brk[i+1] evaluated at shifted index,
+    # then end+1 converts back to the original indexing
+    next_break = F.transform(idx, lambda i: F.element_at(nb, i + 1) + 1)
+    return etypes, start, next_break
+
+
+def entity_phrases_expr(tokens: Column, labels: Column, etype: str) -> Column:
+    """Space-joined phrases of entity runs of the given type, in order."""
+    etypes, start, next_break = _runs(tokens, labels)
+    n = F.size(labels)
+    starts = F.filter(F.sequence(F.lit(0), n - 1), lambda i:
+                      F.element_at(start, i + 1) & (F.element_at(etypes, i + 1) == etype))
+    phrases = F.transform(starts, lambda i: F.array_join(
+        F.slice(tokens, i + 1, F.element_at(next_break, i + 1) - i), " "))
+    return F.when(n > 0, phrases).otherwise(F.array().cast("array<string>"))
+
+
+def parse_price_expr(phrase: Column) -> Column:
+    """notebook-03 extract_numerical_price: strip the {ብ,ር,b,i,r,ws,comma}
+    charclass then cast, null on failure."""
+    return F.try_cast(F.regexp_replace(F.lower(phrase), r"(?U)[ብርbirr\s,]", ""), "double")

@@ -238,19 +238,34 @@ def _as_clean_str_series(s: pd.Series) -> pd.Series:
     return s.map(lambda x: "" if pd.isna(x) else str(x))
 
 
+# fused fast-path patterns (equivalences argued at the definition of the
+# scalar chain; pinned by test_series_matches_scalar):
+# * mention+hashtag share no first-chars and both replace with ' ' — one
+#   alternation pass is order-independent and equal to the two passes. (URL
+#   stays separate: fusing it with mentions CAN differ on adversarial
+#   '@http://…' inputs.)
+_MENTION_HASHTAG_RE = re.compile(r"@\w+|#\w+")
+# * runs of one punct char collapse independently of other chars, so a single
+#   backreference pass equals the reference's seven per-char passes
+_PUNCT_RUN_RE = re.compile(r"([.?!,;:\-])\1+")
+
+
+def _nfc_if_needed(x: str) -> str:
+    # is_normalized is a C-level quick check; most real text is already NFC
+    return x if unicodedata.is_normalized("NFC", x) else unicodedata.normalize("NFC", x)
+
+
 def preprocess_series(s: pd.Series, remove_stopwords: bool = False) -> pd.Series:
     """Vectorized full chain; same output as preprocess_text element-wise."""
     out = _as_clean_str_series(s)
-    out = out.map(lambda x: unicodedata.normalize("NFC", x))
+    out = out.map(_nfc_if_needed)
     out = out.str.translate(_CHAR_TABLE)
     out = out.str.replace(_GEEZ_RE, lambda m: _GEEZ_MAP[m.group(0)], regex=True)
     out = out.str.replace(_URL_RE, " ", regex=True)
-    out = out.str.replace(_MENTION_RE, " ", regex=True)
-    out = out.str.replace(_HASHTAG_RE, " ", regex=True)
+    out = out.str.replace(_MENTION_HASHTAG_RE, " ", regex=True)
     out = out.str.replace(_NON_AM_ASCII_RE, " ", regex=True)
     out = out.str.translate(_PUNCT_TABLE)
-    for rx, repl in _PUNCT_RUNS:
-        out = out.str.replace(rx, repl, regex=True)
+    out = out.str.replace(_PUNCT_RUN_RE, r"\1", regex=True)
     out = out.str.replace(_PUNCT_PAIR_RE, r"\1", regex=True).str.strip()
     out = out.str.replace(_WS_RE, " ", regex=True).str.strip()
     if remove_stopwords:

@@ -30,6 +30,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..kernels import labeler as lb
@@ -111,26 +112,31 @@ def extract_entities(
     """
     if target_partitions:
         df = df.repartition(target_partitions)
-    out_schema = T.StructType(list(df.schema.fields) + ENTITY_FIELDS)
-    in_cols = [f.name for f in df.schema.fields]
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            clean = tp.preprocess_series(pdf[text_col])
-            if backend == "rules":
-                recs = _extract_batch_rules(clean, with_contact_rule)
-            elif backend == "hf":
-                recs = _extract_batch_hf(clean, model_dir or "")
-            else:
-                raise ValueError(f"unknown backend {backend!r}")
-            out = pdf[in_cols].copy()
-            out["preprocessed_text"] = clean
-            for field in ("tokens", "labels", "products", "prices",
-                          "locations", "contacts", "price_values"):
-                out[field] = [r[field] for r in recs]
-            yield out
+    entity_struct = T.StructType(ENTITY_FIELDS)
 
-    return df.mapInPandas(run, schema=out_schema)
+    @F.pandas_udf(entity_struct)
+    def extract_udf(texts: pd.Series) -> pd.DataFrame:
+        clean = tp.preprocess_series(texts)
+        if backend == "rules":
+            recs = _extract_batch_rules(clean, with_contact_rule)
+        elif backend == "hf":
+            recs = _extract_batch_hf(clean, model_dir or "")
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+        out = pd.DataFrame({"preprocessed_text": clean.reset_index(drop=True)})
+        for field in ("tokens", "labels", "products", "prices",
+                      "locations", "contacts", "price_values"):
+            out[field] = [r[field] for r in recs]
+        return out
+
+    # struct-returning pandas UDF: ONLY text_col crosses the Arrow boundary;
+    # all other columns stay JVM-side (vs mapInPandas, which would round-trip
+    # the full row through Python for nothing)
+    ent = F.col("_entities")
+    return (df.withColumn("_entities", extract_udf(F.col(text_col)))
+            .select("*", *[ent[f.name].alias(f.name) for f in ENTITY_FIELDS])
+            .drop("_entities"))
 
 
 def predictions_table(extracted: DataFrame) -> DataFrame:

@@ -56,7 +56,7 @@ def test_extraction_stage_is_narrow(spark):
     ext = extract_entities(msgs)  # no repartition: must add NO shuffle
     plan = _plan(ext)
     assert "Exchange" not in plan, "extraction must not shuffle"
-    assert "MapInPandas" in plan
+    assert "ArrowEvalPython" in plan  # struct-returning pandas UDF
 
 
 def test_triples_have_no_shuffle(spark):
@@ -72,10 +72,12 @@ def test_scorecard_plan_shape(spark):
 
     msgs = generate_messages(spark, n_rows=50, n_vendors=5)
     plan = _plan(vendor_scorecard(extract_entities(msgs)))
-    # exactly one Python pass per stage — generator + extractor, with NO
-    # diamond recompute (a stats cross join would double these) — and one
-    # vendor hash shuffle; normalization runs in the single-partition window
-    assert plan.count("MapInPandas") == 2, plan
+    # exactly one Python pass per stage — MapInPandas generator +
+    # ArrowEvalPython extractor — with NO diamond recompute (a stats cross
+    # join would double these), one vendor hash shuffle, and the tiny
+    # single-partition normalization window
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
 
