@@ -101,10 +101,17 @@ def tokenize_message_expr(col) -> Column:
 # BIO labeling (kernels.labeler.label_tokens semantics)
 # ---------------------------------------------------------------------------
 
+def _idx_seq(n: Column) -> Column:
+    """[0..n-1] that is EMPTY for n=0 — a bare sequence(0, n-1) would infer a
+    descending step and yield [0, -1], making transforms index out of range."""
+    return F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>"))
+
+
 def _reverse_run_end(cont_flags: Column, n: Column) -> Column:
     """cont_flags: array<boolean>. Returns array<int> end where end[i] is the
     first index j >= i with !cont[j] (or n). Reverse fold, prepending."""
-    idx_desc = F.sequence(n - 1, F.lit(0), F.lit(-1))
+    idx_desc = F.when(n > 0, F.sequence(n - 1, F.lit(0), F.lit(-1))).otherwise(F.array().cast("array<int>"))
     folded = F.aggregate(
         idx_desc,
         F.array(n.cast("int")),
@@ -129,12 +136,7 @@ def label_tokens_expr(tokens: Column, with_contact_rule: bool = True) -> Column:
     is_desc = F.transform(lows, lambda t: F.array_contains(_lit_arr(_DESC_SET), t))
     is_trig = F.transform(lows, lambda t: F.array_contains(_lit_arr(_TRIGGER_SET), t))
 
-    loc_cont = F.zip_with(
-        F.zip_with(is_loc_kw, is_num, lambda a, b: a | b),
-        F.zip_with(is_ctx, is_phone, lambda c, p: c & ~p),
-        lambda ab, cp: (ab | cp),
-    )
-    # cont = (loc_kw | num | ctx) & !phone   — rebuild precisely:
+    # cont = (loc_kw | num | ctx) & !phone
     loc_cont = F.zip_with(
         F.zip_with(is_loc_kw, is_num, lambda a, b: a | b),
         F.zip_with(is_ctx, is_phone, lambda c, p: F.struct(c.alias("c"), p.alias("p"))),
@@ -202,7 +204,7 @@ def label_tokens_expr(tokens: Column, with_contact_rule: bool = True) -> Column:
 
     init = F.struct(F.lit(0).cast("int").alias("skip"),
                     F.array().cast("array<string>").alias("labels"))
-    folded = F.aggregate(F.sequence(F.lit(0), n - 1), init, step)
+    folded = F.aggregate(_idx_seq(n), init, step)
     return F.when(n > 0, folded["labels"]).otherwise(F.array().cast("array<string>"))
 
 
@@ -217,7 +219,7 @@ def _runs(tokens: Column, labels: Column):
         l.startswith("B-") | l.startswith("I-"), F.substring(l, 3, 2147483647)))
     known = F.transform(etypes, lambda t: t.isin("PRODUCT", "PRICE", "LOC", "CONTACT_INFO"))
     is_b = F.transform(labels, lambda l: l.startswith("B-"))
-    idx = F.sequence(F.lit(0), n - 1)
+    idx = _idx_seq(n)
     start = F.transform(idx, lambda i: F.element_at(known, i + 1) & (
         F.element_at(is_b, i + 1)
         | (i == 0)
@@ -236,18 +238,47 @@ def _runs(tokens: Column, labels: Column):
     return etypes, start, next_break
 
 
-def entity_phrases_expr(tokens: Column, labels: Column, etype: str) -> Column:
-    """Space-joined phrases of entity runs of the given type, in order."""
-    etypes, start, next_break = _runs(tokens, labels)
-    n = F.size(labels)
-    starts = F.filter(F.sequence(F.lit(0), n - 1), lambda i:
+def _phrases_from_runs(tokens: Column, etypes: Column, start: Column,
+                       next_break: Column, etype: str) -> Column:
+    n = F.size(etypes)
+    starts = F.filter(_idx_seq(n), lambda i:
                       F.element_at(start, i + 1) & (F.element_at(etypes, i + 1) == etype))
     phrases = F.transform(starts, lambda i: F.array_join(
         F.slice(tokens, i + 1, F.element_at(next_break, i + 1) - i), " "))
     return F.when(n > 0, phrases).otherwise(F.array().cast("array<string>"))
 
 
+def entity_phrases_expr(tokens: Column, labels: Column, etype: str) -> Column:
+    """Space-joined phrases of entity runs of the given type, in order.
+    NOTE: inlines the full run computation — for more than one entity type
+    use ``with_entities_expr`` which binds intermediates as columns (keeps
+    the analyzer's expression tree bounded)."""
+    etypes, start, next_break = _runs(tokens, labels)
+    return _phrases_from_runs(tokens, etypes, start, next_break, etype)
+
+
+def with_entities_expr(df, clean_col: str = "preprocessed_text",
+                       with_contact_rule: bool = True):
+    """DataFrame-level fused JVM extractor: adds tokens/labels/entity
+    columns. Each step is bound via withColumn so the analyzer sees bounded
+    attribute references instead of one exponentially-inlined tree."""
+    df = df.withColumn("tokens", tokenize_message_expr(F.col(clean_col)))
+    df = df.withColumn("labels", label_tokens_expr(F.col("tokens"), with_contact_rule))
+    etypes, start, next_break = _runs(F.col("tokens"), F.col("labels"))
+    df = (df.withColumn("_etypes", etypes)
+          .withColumn("_start", start)
+          .withColumn("_nb", next_break))
+    for etype, name in (("PRODUCT", "products"), ("PRICE", "prices"),
+                        ("LOC", "locations"), ("CONTACT_INFO", "contacts")):
+        df = df.withColumn(name, _phrases_from_runs(
+            F.col("tokens"), F.col("_etypes"), F.col("_start"), F.col("_nb"), etype))
+    df = df.withColumn(
+        "price_values",
+        F.filter(F.transform(F.col("prices"), parse_price_expr), lambda v: v.isNotNull()))
+    return df.drop("_etypes", "_start", "_nb")
+
+
 def parse_price_expr(phrase: Column) -> Column:
     """notebook-03 extract_numerical_price: strip the {ብ,ር,b,i,r,ws,comma}
     charclass then cast, null on failure."""
-    return F.try_cast(F.regexp_replace(F.lower(phrase), r"(?U)[ብርbirr\s,]", ""), "double")
+    return F.regexp_replace(F.lower(phrase), r"(?U)[ብርbirr\s,]", "").try_cast("double")

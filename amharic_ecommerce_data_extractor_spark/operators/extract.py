@@ -113,6 +113,17 @@ def extract_entities(
     if target_partitions:
         df = df.repartition(target_partitions)
 
+    if backend == "rules_jvm":
+        # pure-JVM path: expression-chain preprocess + fold-based BIO
+        # automaton — zero Python, scales like any codegen stage. Assumes
+        # NFC input (functions/textnorm.py caveat).
+        from ..functions.extract_expr import with_entities_expr
+        from ..functions.textnorm import preprocess_expr
+
+        out = df.withColumn("preprocessed_text", preprocess_expr(F.col(text_col)))
+        return with_entities_expr(out, clean_col="preprocessed_text",
+                                  with_contact_rule=with_contact_rule)
+
     entity_struct = T.StructType(ENTITY_FIELDS)
 
     @F.pandas_udf(entity_struct)
