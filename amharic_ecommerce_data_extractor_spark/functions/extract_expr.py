@@ -124,31 +124,62 @@ def _reverse_run_end(cont_flags: Column, n: Column) -> Column:
     return F.slice(folded, 1, n.cast("int"))
 
 
-def label_tokens_expr(tokens: Column, with_contact_rule: bool = True) -> Column:
-    """array<string> tokens → array<string> BIO labels (same length)."""
+def _flag_exprs(tokens: Column, with_contact_rule: bool) -> dict[str, Column]:
+    """Per-token boolean/derived arrays consumed by the label fold.
+
+    IMPORTANT: higher-order functions evaluate interpreted (no codegen, no
+    common-subexpression caching), so every one of these MUST be bound as a
+    real column (withColumn) before the fold references it — an inlined
+    subtree would be recomputed on every element_at access, turning the
+    linear automaton into O(n²·rules) work per row."""
     n = F.size(tokens)
     lows = F.transform(tokens, F.lower)
-    is_num = F.transform(tokens, lambda t: t.rlike(_NUM_PATTERN))
-    is_phone = F.transform(tokens, lambda t: t.rlike(_PHONE_PATTERN) & F.lit(with_contact_rule))
-    is_loc_kw = F.transform(tokens, lambda t: t.rlike(_LOC_KW_PATTERN))
-    is_ctx = F.transform(lows, lambda t: F.array_contains(_lit_arr(_LOC_CTX_SET), t))
-    is_prod = F.transform(lows, lambda t: F.array_contains(_lit_arr(_PROD_SET), t))
-    is_desc = F.transform(lows, lambda t: F.array_contains(_lit_arr(_DESC_SET), t))
-    is_trig = F.transform(lows, lambda t: F.array_contains(_lit_arr(_TRIGGER_SET), t))
+    out: dict[str, Column] = {"lows": lows}
+    out["is_num"] = F.transform(tokens, lambda t: t.rlike(_NUM_PATTERN))
+    out["is_phone"] = F.transform(tokens, lambda t: t.rlike(_PHONE_PATTERN)
+                                  & F.lit(with_contact_rule))
+    out["is_loc_kw"] = F.transform(tokens, lambda t: t.rlike(_LOC_KW_PATTERN))
+    # isin → Catalyst InSet (hash-set membership)
+    out["is_ctx"] = F.transform(lows, lambda t: t.isin(*_LOC_CTX_SET))
+    out["is_prod"] = F.transform(lows, lambda t: t.isin(*_PROD_SET))
+    out["is_desc"] = F.transform(lows, lambda t: t.isin(*_DESC_SET))
+    out["is_trig"] = F.transform(lows, lambda t: t.isin(*_TRIGGER_SET))
+    return out
 
+
+def _cont_exprs(flags: dict[str, Column]) -> dict[str, Column]:
+    """Greedy-run continuation flags. Bound separately from the run-end
+    folds: the fold reads its cont array once per index, so an inlined cont
+    subtree would be recomputed per access (O(n²)+)."""
     # cont = (loc_kw | num | ctx) & !phone
     loc_cont = F.zip_with(
-        F.zip_with(is_loc_kw, is_num, lambda a, b: a | b),
-        F.zip_with(is_ctx, is_phone, lambda c, p: F.struct(c.alias("c"), p.alias("p"))),
+        F.zip_with(flags["is_loc_kw"], flags["is_num"], lambda a, b: a | b),
+        F.zip_with(flags["is_ctx"], flags["is_phone"],
+                   lambda c, p: F.struct(c.alias("c"), p.alias("p"))),
         lambda ab, s: (ab | s["c"]) & ~s["p"],
     )
     prod_cont = F.zip_with(
-        F.zip_with(is_prod, is_num, lambda a, b: a | b),
-        F.zip_with(is_desc, is_phone, lambda c, p: F.struct(c.alias("c"), p.alias("p"))),
+        F.zip_with(flags["is_prod"], flags["is_num"], lambda a, b: a | b),
+        F.zip_with(flags["is_desc"], flags["is_phone"],
+                   lambda c, p: F.struct(c.alias("c"), p.alias("p"))),
         lambda ab, s: (ab | s["c"]) & ~s["p"],
     )
-    loc_end = _reverse_run_end(loc_cont, n)
-    prod_end = _reverse_run_end(prod_cont, n)
+    return {"loc_cont": loc_cont, "prod_cont": prod_cont}
+
+
+def _run_end_exprs(flags: dict[str, Column], n: Column) -> dict[str, Column]:
+    cont = _cont_exprs(flags)
+    return {"loc_end": _reverse_run_end(cont["loc_cont"], n),
+            "prod_end": _reverse_run_end(cont["prod_cont"], n)}
+
+
+def _label_fold(tokens: Column, flags: dict[str, Column],
+                ends: dict[str, Column]) -> Column:
+    """The rule-dispatch fold; all array inputs should be bound columns."""
+    n = F.size(tokens)
+    lows, is_num, is_phone = flags["lows"], flags["is_num"], flags["is_phone"]
+    is_loc_kw, is_prod, is_trig = flags["is_loc_kw"], flags["is_prod"], flags["is_trig"]
+    loc_end, prod_end = ends["loc_end"], ends["prod_end"]
 
     def step(acc, i):
         # acc: struct(skip int, labels array<string>); i: 0-based index
@@ -208,34 +239,67 @@ def label_tokens_expr(tokens: Column, with_contact_rule: bool = True) -> Column:
     return F.when(n > 0, folded["labels"]).otherwise(F.array().cast("array<string>"))
 
 
+def label_tokens_expr(tokens: Column, with_contact_rule: bool = True) -> Column:
+    """array<string> tokens → array<string> BIO labels (same length).
+
+    Inline single-Column form — convenient for tests/small inputs. The hot
+    path is ``with_entities_expr``, which binds every intermediate array as a
+    column first (interpreted HOF eval recomputes inlined subtrees per
+    access)."""
+    flags = _flag_exprs(tokens, with_contact_rule)
+    ends = _run_end_exprs(flags, F.size(tokens))
+    return _label_fold(tokens, flags, ends)
+
+
 # ---------------------------------------------------------------------------
 # entity grouping (kernels.labeler.group_entities semantics)
 # ---------------------------------------------------------------------------
 
-def _runs(tokens: Column, labels: Column):
-    """start/break boolean algebra over the BIO sequence."""
-    n = F.size(labels)
-    etypes = F.transform(labels, lambda l: F.when(
+def _etypes_expr(labels: Column) -> Column:
+    return F.transform(labels, lambda l: F.when(
         l.startswith("B-") | l.startswith("I-"), F.substring(l, 3, 2147483647)))
-    known = F.transform(etypes, lambda t: t.isin("PRODUCT", "PRICE", "LOC", "CONTACT_INFO"))
+
+
+def _known_expr(etypes: Column) -> Column:
+    return F.transform(etypes, lambda t: t.isin("PRODUCT", "PRICE", "LOC", "CONTACT_INFO"))
+
+
+def _start_expr(labels: Column, etypes: Column, known: Column) -> Column:
     is_b = F.transform(labels, lambda l: l.startswith("B-"))
-    idx = _idx_seq(n)
-    start = F.transform(idx, lambda i: F.element_at(known, i + 1) & (
+    return F.transform(_idx_seq(F.size(labels)), lambda i: F.element_at(known, i + 1) & (
         F.element_at(is_b, i + 1)
         | (i == 0)
         | ~F.coalesce(F.element_at(known, i), F.lit(False))
         | (F.coalesce(F.element_at(etypes, i), F.lit(""))
            != F.element_at(etypes, i + 1))
     ))
-    brk = F.transform(idx, lambda i: ~F.element_at(known, i + 1) | F.element_at(start, i + 1))
-    # next break strictly after i
-    nb = _reverse_run_end(F.transform(idx, lambda i: F.when(
-        i + 1 < n, ~F.element_at(brk, i + 2)).otherwise(F.lit(False))), n)
-    # nb[i] = first j>=i with "no-break-after(j)" false… we need first j>i with brk[j]:
-    # reuse _reverse_run_end on cont[i] := !brk[i+1] evaluated at shifted index,
-    # then end+1 converts back to the original indexing
-    next_break = F.transform(idx, lambda i: F.element_at(nb, i + 1) + 1)
-    return etypes, start, next_break
+
+
+def _brk_cont_expr(known: Column, start: Column) -> Column:
+    """cont[i] := !brk[i+1] (index-shifted break flags) — MUST be bound as a
+    column before feeding _reverse_run_end (see _cont_exprs note)."""
+    n = F.size(known)
+    idx = _idx_seq(n)
+    return F.transform(idx, lambda i: F.when(
+        i + 1 < n,
+        F.element_at(known, i + 2) & ~F.element_at(start, i + 2),
+    ).otherwise(F.lit(False)))
+
+
+def _next_break_expr(known: Column, start: Column) -> Column:
+    """next_break[i] = first j>i with (not known[j] or start[j]), else n.
+    Inline form for single-column use; the hot path binds _brk_cont_expr."""
+    n = F.size(known)
+    nb = _reverse_run_end(_brk_cont_expr(known, start), n)
+    return F.transform(_idx_seq(n), lambda i: F.element_at(nb, i + 1) + 1)
+
+
+def _runs(tokens: Column, labels: Column):
+    """start/break boolean algebra over the BIO sequence (inline form)."""
+    etypes = _etypes_expr(labels)
+    known = _known_expr(etypes)
+    start = _start_expr(labels, etypes, known)
+    return etypes, start, _next_break_expr(known, start)
 
 
 def _phrases_from_runs(tokens: Column, etypes: Column, start: Column,
@@ -260,22 +324,48 @@ def entity_phrases_expr(tokens: Column, labels: Column, etype: str) -> Column:
 def with_entities_expr(df, clean_col: str = "preprocessed_text",
                        with_contact_rule: bool = True):
     """DataFrame-level fused JVM extractor: adds tokens/labels/entity
-    columns. Each step is bound via withColumn so the analyzer sees bounded
-    attribute references instead of one exponentially-inlined tree."""
+    columns. EVERY intermediate array is bound via withColumn: (a) the
+    analyzer sees bounded attribute references instead of an exponentially
+    inlined tree, and (b) interpreted HOF eval computes each array once per
+    row instead of once per element_at access."""
+    # batched projections: each withColumns call is ONE Project (interpreted
+    # projections copy the whole row, so projection count is the constant
+    # factor here); bindings within a batch only reference earlier batches
+    n = F.size(F.col("tokens"))
     df = df.withColumn("tokens", tokenize_message_expr(F.col(clean_col)))
-    df = df.withColumn("labels", label_tokens_expr(F.col("tokens"), with_contact_rule))
-    etypes, start, next_break = _runs(F.col("tokens"), F.col("labels"))
-    df = (df.withColumn("_etypes", etypes)
-          .withColumn("_start", start)
-          .withColumn("_nb", next_break))
-    for etype, name in (("PRODUCT", "products"), ("PRICE", "prices"),
-                        ("LOC", "locations"), ("CONTACT_INFO", "contacts")):
-        df = df.withColumn(name, _phrases_from_runs(
-            F.col("tokens"), F.col("_etypes"), F.col("_start"), F.col("_nb"), etype))
+    flags = _flag_exprs(F.col("tokens"), with_contact_rule)
+    df = df.withColumns({f"_f_{k}": e for k, e in flags.items()})
+    bound_flags = {k: F.col(f"_f_{k}") for k in flags}
+    conts = _cont_exprs(bound_flags)
+    df = df.withColumns({f"_c_{k}": e for k, e in conts.items()})
+    df = df.withColumns({
+        "_e_loc_end": _reverse_run_end(F.col("_c_loc_cont"), n),
+        "_e_prod_end": _reverse_run_end(F.col("_c_prod_cont"), n),
+    })
+    bound_ends = {"loc_end": F.col("_e_loc_end"), "prod_end": F.col("_e_prod_end")}
+    df = df.withColumn("labels", _label_fold(F.col("tokens"), bound_flags, bound_ends))
+
+    df = df.withColumn("_g_etypes", _etypes_expr(F.col("labels")))
+    df = df.withColumn("_g_known", _known_expr(F.col("_g_etypes")))
+    df = df.withColumn("_g_start", _start_expr(F.col("labels"), F.col("_g_etypes"),
+                                               F.col("_g_known")))
+    df = df.withColumn("_g_bc", _brk_cont_expr(F.col("_g_known"), F.col("_g_start")))
+    df = df.withColumn("_g_nb0", _reverse_run_end(F.col("_g_bc"), F.size("labels")))
+    df = df.withColumn("_g_nb", F.transform(
+        _idx_seq(F.size("labels")), lambda i: F.element_at(F.col("_g_nb0"), i + 1) + 1))
+    df = df.withColumns({
+        name: _phrases_from_runs(F.col("tokens"), F.col("_g_etypes"),
+                                 F.col("_g_start"), F.col("_g_nb"), etype)
+        for etype, name in (("PRODUCT", "products"), ("PRICE", "prices"),
+                            ("LOC", "locations"), ("CONTACT_INFO", "contacts"))
+    })
     df = df.withColumn(
         "price_values",
         F.filter(F.transform(F.col("prices"), parse_price_expr), lambda v: v.isNotNull()))
-    return df.drop("_etypes", "_start", "_nb")
+    temps = ([f"_f_{k}" for k in flags] + ["_c_loc_cont", "_c_prod_cont",
+             "_e_loc_end", "_e_prod_end", "_g_etypes", "_g_known", "_g_start",
+             "_g_bc", "_g_nb0", "_g_nb"])
+    return df.drop(*temps)
 
 
 def parse_price_expr(phrase: Column) -> Column:

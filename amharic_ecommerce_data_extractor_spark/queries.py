@@ -609,3 +609,52 @@ def q31(spark, sf_dir):
     pairs = minhash_duplicate_pairs(u, threshold=0.9)
     return pairs.agg(F.count("*").alias("n_pairs"),
                      F.round(F.avg("jaccard"), 6).alias("avg_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# KG-construction flagship path over the deterministic synthetic corpus
+# (generator is parallelism-invariant, seed-pinned — same rows everywhere).
+# Rule extraction / linking are not SQL-expressible → rows-only checks.
+# ---------------------------------------------------------------------------
+
+def _synth(spark, n=2000):
+    from amharic_ecommerce_data_extractor_spark.data.synthetic import generate_messages
+
+    return generate_messages(spark, n_rows=n, n_vendors=20)
+
+
+@_q("q32_kg_triples_profile")
+def q32(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.extract import extract_entities
+    from amharic_ecommerce_data_extractor_spark.operators.triples import emit_triples
+
+    t = emit_triples(extract_entities(_synth(spark)))
+    return (t.groupBy("pred").agg(F.count("*").alias("n_triples"),
+                                  F.countDistinct("subj").alias("n_subjects"),
+                                  F.countDistinct("obj").alias("n_objects"))
+            .orderBy("pred"))
+
+
+@_q("q33_kg_vendor_scorecard")
+def q33(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.extract import extract_entities
+    from amharic_ecommerce_data_extractor_spark.operators.scorecard import vendor_scorecard
+
+    sc = vendor_scorecard(extract_entities(_synth(spark)))
+    return sc.select("vendor", "total_posts",
+                     F.round("avg_views_per_post", 6).alias("avg_views_per_post"),
+                     F.round("posts_per_week", 6).alias("posts_per_week"),
+                     F.round("lending_score_0_100", 6).alias("lending_score_0_100"))
+
+
+@_q("q34_kg_entity_linking")
+def q34(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.extract import extract_entities
+    from amharic_ecommerce_data_extractor_spark.operators.linking import canonicalize_surfaces
+    from amharic_ecommerce_data_extractor_spark.plans.pipeline import entity_surfaces
+
+    canon = canonicalize_surfaces(entity_surfaces(extract_entities(_synth(spark))))
+    return (canon.groupBy("type")
+            .agg(F.count("*").alias("n_surfaces"),
+                 F.countDistinct("canonical_id").alias("n_canonical"))
+            .orderBy("type"))
