@@ -101,6 +101,7 @@ def extract_entities(
     with_contact_rule: bool = True,
     model_dir: str | None = None,
     target_partitions: int | None = None,
+    include_tokens: bool = True,
 ) -> DataFrame:
     """messages → messages + entity columns. Narrow plan, zero shuffles.
 
@@ -109,6 +110,12 @@ def extract_entities(
     cores gives the scheduler units to pipeline (classic long-stage
     load-balancing). Worth one round-robin shuffle when the Python stage
     dominates, which it does.
+
+    include_tokens: tokens/labels are the LARGEST arrays crossing the Arrow
+    boundary and the downstream KG stages (triples/linking/scorecard) never
+    read them — pass False in throughput-critical pipelines (≈half the
+    Arrow traffic); keep True where predictions_table / NER metrics are
+    needed.
     """
     if target_partitions:
         df = df.repartition(target_partitions)
@@ -124,7 +131,10 @@ def extract_entities(
         return with_entities_expr(out, clean_col="preprocessed_text",
                                   with_contact_rule=with_contact_rule)
 
-    entity_struct = T.StructType(ENTITY_FIELDS)
+    fields = ENTITY_FIELDS if include_tokens else [
+        f for f in ENTITY_FIELDS if f.name not in ("tokens", "labels")]
+    array_fields = [f.name for f in fields if f.name != "preprocessed_text"]
+    entity_struct = T.StructType(fields)
 
     @F.pandas_udf(entity_struct)
     def extract_udf(texts: pd.Series) -> pd.DataFrame:
@@ -136,8 +146,7 @@ def extract_entities(
         else:
             raise ValueError(f"unknown backend {backend!r}")
         out = pd.DataFrame({"preprocessed_text": clean.reset_index(drop=True)})
-        for field in ("tokens", "labels", "products", "prices",
-                      "locations", "contacts", "price_values"):
+        for field in array_fields:
             out[field] = [r[field] for r in recs]
         return out
 
@@ -146,7 +155,7 @@ def extract_entities(
     # the full row through Python for nothing)
     ent = F.col("_entities")
     return (df.withColumn("_entities", extract_udf(F.col(text_col)))
-            .select("*", *[ent[f.name].alias(f.name) for f in ENTITY_FIELDS])
+            .select("*", *[ent[f.name].alias(f.name) for f in fields])
             .drop("_entities"))
 
 
