@@ -658,3 +658,26 @@ def q34(spark, sf_dir):
             .agg(F.count("*").alias("n_surfaces"),
                  F.countDistinct("canonical_id").alias("n_canonical"))
             .orderBy("type"))
+
+
+@_q("q35_multimodal_features")  # binary decode plumbing: no SQL twin (rows-only)
+def q35(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.lit("image/fake").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    feats = extract_image_features(media)
+    return feats.agg(
+        F.count("*").alias("n_images"),
+        F.round(F.avg("width"), 6).alias("avg_width"),
+        F.round(F.avg("height"), 6).alias("avg_height"),
+        F.countDistinct("payload_sha256").alias("n_distinct_payloads"),
+    )

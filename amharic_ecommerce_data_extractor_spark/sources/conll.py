@@ -108,3 +108,19 @@ def train_eval_split(conll: DataFrame, frac: float = 0.8, seed: int = 42):
     """Sentence-level random split (reference 80/20, seed 42 —
     ``ner_trainer.py:138``)."""
     return conll.randomSplit([frac, 1.0 - frac], seed=seed)
+
+
+def write_labeling_file(messages: "DataFrame", path: str, n_messages: int = 50,
+                        text_col: str = "content") -> None:
+    """First-N messages as a token-per-line file with blank separators — the
+    reference's manual-labeling prep (``prepare_data_for_labeling.py:12-79``;
+    dead code there: it passes a kwarg that doesn't exist — reimplemented
+    working, same intended output shape)."""
+    from ..functions.textnorm import preprocess_expr, tokenize_expr
+
+    body = (messages.orderBy("message_id").limit(n_messages)
+            .select(F.concat(
+                F.array_join(tokenize_expr(preprocess_expr(F.col(text_col))), "\n"),
+                F.lit("\n"),
+            ).alias("value")))
+    body.coalesce(1).write.mode("overwrite").text(path)
