@@ -74,19 +74,24 @@ def _extract_batch_rules(clean: pd.Series, with_contact_rule: bool) -> list[dict
 def _extract_batch_hf(clean: pd.Series, model_dir: str) -> list[dict]:
     """HF batch path: one pipeline call per Arrow batch (amortizes the
     Python↔native boundary the reference crossed per single sentence)."""
+    from ..kernels.align import align_spans_to_tokens
+
     pipe = _hf_pipeline(model_dir)
     texts = clean.fillna("").tolist()
     results = pipe([t if t.strip() else "-" for t in texts], batch_size=64)
     out = []
     for text, spans in zip(texts, results):
         ents: dict[str, list[str]] = {"PRODUCT": [], "PRICE": [], "LOC": [], "CONTACT_INFO": []}
-        for s in spans if text.strip() else []:
+        spans = spans if text.strip() else []
+        for s in spans:
             g = s.get("entity_group", "")
             if g in ents:
                 ents[g].append(s["word"])
+        tokens = tp.tokenize_text(text)
+        labels = align_spans_to_tokens(text, tokens, spans)  # N2, corrected
         pv = [v for v in (lb.parse_price(p) for p in ents["PRICE"]) if v is not None]
         out.append({
-            "tokens": tp.tokenize_text(text), "labels": None,
+            "tokens": tokens, "labels": labels,
             "products": ents["PRODUCT"], "prices": ents["PRICE"],
             "locations": ents["LOC"], "contacts": ents["CONTACT_INFO"],
             "price_values": pv,

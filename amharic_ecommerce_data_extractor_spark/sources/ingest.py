@@ -61,3 +61,40 @@ def read_zip_of_csvs(spark: SparkSession, zip_path: str,
     if not extracted:
         raise ValueError(f"no non-empty CSV members in {zip_path}")
     return spark.read.options(header=True, inferSchema=True, **kw).csv(extracted)
+
+
+def filter_channels(df, channels_path: str, channel_col: str = "repo"):
+    """Keep only rows whose channel/vendor appears in a channels list file —
+    the reference's channels-config scan (``telegram_scraper.py:162-177``:
+    txt/csv of usernames, blanks skipped). Driver-side small read + isin
+    filter (broadcast-friendly)."""
+    with open(channels_path, encoding="utf-8") as f:
+        channels = [ln.strip().lstrip("@") for ln in f if ln.strip()]
+    from pyspark.sql import functions as F
+
+    return df.where(F.col(channel_col).isin(channels))
+
+
+def coerce_message_schema(df):
+    """The reference's defensive per-column coercions on CSV re-read
+    (``run_pipeline.py:91-99, 221-234``) as declarative expressions:
+    message_text→string ''-filled, views→long null→0, message_date→timestamp
+    (null on unparseable), drop rows without message_id."""
+    from pyspark.sql import functions as F
+
+    out = df
+    if "content" in df.columns:
+        out = out.withColumn("content", F.coalesce(F.col("content").cast("string"), F.lit("")))
+    if "views" in df.columns:
+        out = out.withColumn("views", F.coalesce(F.col("views").cast("long"), F.lit(0)))
+    if "message_date" in df.columns:
+        out = out.withColumn("message_date", F.col("message_date").try_cast("timestamp"))
+    if "message_id" in df.columns:
+        out = out.na.drop(subset=["message_id"])
+    return out
+
+
+def append_sink(df, path: str, fmt: str = "parquet") -> None:
+    """Append-mode sink (reference S3 header-once CSV append semantics are
+    moot for parquet — append is a new file in the directory)."""
+    df.write.mode("append").format(fmt).save(path)

@@ -67,7 +67,11 @@ def run_kg(spark, n_messages: int) -> dict:
 
         extracted = spark.read.parquet(ext_path)
         t1 = time.perf_counter()
-        n_triples = emit_triples(extracted).count()
+        # materialize the triple table (the pipeline's real sink); the count
+        # afterwards is parquet-footer metadata, not a second computation
+        tri_path = f"{workdir}/triples"
+        emit_triples(extracted).write.parquet(tri_path)
+        n_triples = spark.read.parquet(tri_path).count()
         _force(vendor_scorecard(extracted))
         t_agg = time.perf_counter() - t1
         elapsed = t_extract + t_agg

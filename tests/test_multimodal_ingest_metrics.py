@@ -104,3 +104,54 @@ def test_span_prf_and_confusion(spark):
     assert conf[("B-LOC", "B-LOC")] == 1
     assert conf[("O", "I-PRICE")] == 1
     assert conf[("B-LOC", "O")] == 1
+
+
+def test_filter_channels_and_coercions(spark, tmp_path):
+    from amharic_ecommerce_data_extractor_spark.sources.ingest import (
+        append_sink,
+        coerce_message_schema,
+        filter_channels,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "shopA", "hi", "2024-01-01 10:00:00", None),
+         (2, "shopB", None, "not-a-date", 7),
+         (None, "shopA", "x", None, 3)],
+        "message_id long, repo string, content string, message_date string, views long")
+    ch = tmp_path / "channels.txt"
+    ch.write_text("@shopA\n\n shopB \n")
+    assert filter_channels(df, str(ch)).count() == 3
+    ch.write_text("@shopA\n")
+    assert filter_channels(df, str(ch)).count() == 2
+
+    co = coerce_message_schema(df)
+    rows = {r["message_id"]: r for r in co.collect()}
+    assert set(rows) == {1, 2}          # null message_id dropped
+    assert rows[2]["content"] == ""      # null text → ''
+    assert rows[1]["views"] == 0         # null views → 0
+    assert rows[2]["message_date"] is None  # unparseable → null
+
+    out = str(tmp_path / "sink")
+    append_sink(co, out)
+    append_sink(co, out)
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_span_alignment():
+    from amharic_ecommerce_data_extractor_spark.kernels.align import (
+        align_spans_to_tokens,
+        char_to_token_map,
+    )
+
+    sent = "mini blender ዋጋ 500 ብር"
+    toks = ["mini", "blender", "ዋጋ", "500", "ብር"]
+    m = char_to_token_map(sent, toks)
+    assert m[0] == 0 and m[5] == 1 and m[16] == 3
+    spans = [{"entity_group": "PRODUCT", "start": 0, "end": 12},
+             {"entity_group": "PRICE", "start": 16, "end": 22}]
+    assert align_spans_to_tokens(sent, toks, spans) == [
+        "B-PRODUCT", "I-PRODUCT", "O", "B-PRICE", "I-PRICE"]
+    # overlap: earlier prediction wins
+    spans2 = [{"entity_group": "PRODUCT", "start": 0, "end": 12},
+              {"entity_group": "LOC", "start": 5, "end": 12}]
+    assert align_spans_to_tokens(sent, toks, spans2)[1] == "I-PRODUCT"
