@@ -37,6 +37,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # smaller scan splits: the 128MB default collapses mid-size tables
+        # into fewer partitions than cores, serializing scan-side stages
+        # (AQE coalescing re-merges when they are genuinely tiny)
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
     )
     # shuffle/spill to tmpfs when available: local-mode shuffles are
     # disk-bound on container filesystems

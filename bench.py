@@ -102,7 +102,7 @@ def run_full(sf_dir: str, cpus: int) -> dict:
         _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    n_messages = max(2000, int(600_000 * sf)) if sf > 0 else 2000
+    n_messages = max(2000, int(2_000_000 * sf)) if sf > 0 else 2000
     kg = run_kg(spark, n_messages)
     timings["kg_pipeline"] = kg["seconds"]
 
@@ -173,7 +173,7 @@ def main() -> None:
         from amharic_ecommerce_data_extractor_spark.session import get_spark
 
         sf = _sf_of(sf_dir)
-        n = args.messages or (max(2000, int(600_000 * sf)) if sf > 0 else 2000)
+        n = args.messages or (max(2000, int(2_000_000 * sf)) if sf > 0 else 2000)
         spark = get_spark(app_name="bench-kg", cores=cpus, shuffle_partitions=cpus)
         spark.range(10).count()
         kg = run_kg(spark, n)
