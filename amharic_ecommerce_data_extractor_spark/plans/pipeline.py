@@ -29,6 +29,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.extract import extract_entities
+from ..operators.graph_features import vendor_graph_features
 from ..operators.linking import canonicalize_surfaces, canonicalize_triples
 from ..operators.scorecard import vendor_scorecard
 from ..operators.triples import emit_triples
@@ -111,9 +112,12 @@ def run_pipeline(
     nodes = timed("graph_nodes", lambda: ckpt.run_stage(
         spark, workdir, "graph_nodes", lambda: graph_nodes(canon, canon_triples)))
 
-    # Stage 5: vendor scorecard
+    # Stage 5: vendor scorecard + graph-derived vendor features
     scorecard = timed("scorecard", lambda: ckpt.run_stage(
         spark, workdir, "scorecard", lambda: vendor_scorecard(extracted)))
+    graph_feats = timed("graph_features", lambda: ckpt.run_stage(
+        spark, workdir, "graph_features",
+        lambda: vendor_graph_features(canon_triples)))
 
     return {
         "workdir": workdir,
@@ -121,6 +125,7 @@ def run_pipeline(
         "triples": canon_triples.count(),
         "nodes": nodes.count(),
         "vendors": scorecard.count(),
+        "vendors_with_graph_features": graph_feats.count(),
         "stage_seconds": metrics,
     }
 

@@ -42,3 +42,22 @@ def test_join_meta_fills_empty(spark):
     empties = joined.where(F.size("products") == 0).count()
     nulls = joined.where(F.col("products").isNull()).count()
     assert nulls == 0 and empties >= 0
+
+
+def test_vendor_graph_features(spark):
+    from amharic_ecommerce_data_extractor_spark.operators.graph_features import (
+        vendor_graph_features,
+    )
+    from amharic_ecommerce_data_extractor_spark.operators.triples import emit_triples
+
+    msgs = generate_messages(spark, n_rows=400, n_vendors=6)
+    feats = vendor_graph_features(emit_triples(extract_entities(msgs)))
+    rows = {r["vendor"]: r for r in feats.collect()}
+    assert len(rows) >= 3
+    mega = rows.get("vendor_000")
+    assert mega is not None and mega["n_products"] >= 1
+    # ranks are dense over vendors and shares sum to ~1
+    assert sorted({r["product_rank"] for r in rows.values()})[0] == 1
+    assert abs(sum(r["share_of_mentions"] for r in rows.values()) - 1.0) < 1e-4
+    # price stats populated where priced_at edges exist
+    assert any(r["avg_price"] is not None for r in rows.values())
