@@ -53,3 +53,58 @@ def run_stream_once(messages: DataFrame, out_dir: str, checkpoint_dir: str,
          .start())
     q.awaitTermination()
     return q
+
+
+def stateful_vendor_totals(messages: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per
+    vendor, a running (n_posts, total_views, last_seen) state maintained
+    across micro-batches — the incremental twin of the scorecard's
+    per-vendor counters. State is one small row per vendor (bounded), emitted
+    on every batch that touches the vendor."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType([
+        T.StructField("vendor", T.StringType(), False),
+        T.StructField("n_posts", T.LongType(), False),
+        T.StructField("total_views", T.LongType(), False),
+        T.StructField("last_seen", T.TimestampType(), True),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n_posts", T.LongType(), False),
+        T.StructField("total_views", T.LongType(), False),
+        T.StructField("last_seen", T.TimestampType(), True),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        n, views, last = (state.get if state.exists else (0, 0, None))
+        for pdf in pdfs:
+            n += len(pdf)
+            views += int(pdf["views"].fillna(0).sum())
+            batch_last = pdf["message_date"].max()
+            if last is None or (batch_last is not None and batch_last > last):
+                last = batch_last
+        state.update((n, views, last))
+        yield pd.DataFrame([{"vendor": key[0], "n_posts": n,
+                             "total_views": views, "last_seen": last}])
+
+    return (messages
+            .select(F.col("repo"), F.col("views"), F.col("message_date"))
+            .groupBy("repo")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    outputMode="update", timeoutConf="NoTimeout"))
+
+
+def run_stream_once_foreach(df: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Drain an update-mode stream (e.g. stateful operators) into parquet via
+    foreachBatch append — parquet has no native update sink."""
+    q = (df.writeStream
+         .foreachBatch(lambda batch, _id: batch.write.mode("append").parquet(out_dir))
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("update")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q

@@ -68,3 +68,34 @@ def test_windowed_vendor_activity(spark, tmp_path):
     # watermark append-mode may hold back the tail window; totals bounded by input
     got = spark.read.parquet(out)
     assert got.columns == ["window_start", "vendor", "n_posts", "views"]
+
+
+def test_stateful_vendor_totals(spark, tmp_path):
+    from amharic_ecommerce_data_extractor_spark.streaming.stream import (
+        run_stream_once_foreach,
+        stateful_vendor_totals,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    first = generate_messages(spark, n_rows=120, n_vendors=4)
+    first.write.parquet(src)
+    q = stateful_vendor_totals(read_message_stream(spark, src))
+    run_stream_once_foreach(q, out, ck)
+    got1 = {r["vendor"]: r for r in spark.read.parquet(out).collect()}
+
+    # state persists across a restart with new files: totals grow
+    second = generate_messages(spark, n_rows=60, n_vendors=4).withColumn(
+        "message_id", F.col("message_id") + 5_000_000)
+    second.write.mode("append").parquet(src)
+    q2 = stateful_vendor_totals(read_message_stream(spark, src))
+    run_stream_once_foreach(q2, out, ck)
+    # latest row per vendor carries cumulative counts == batch totals
+    rows = spark.read.parquet(out).groupBy("vendor").agg(
+        F.max("n_posts").alias("n_posts")).collect()
+    got2 = {r["vendor"]: r["n_posts"] for r in rows}
+    want = {r["repo"]: r["cnt"] for r in
+            spark.read.parquet(src).groupBy("repo").agg(F.count("*").alias("cnt")).collect()}
+    assert got2 == want
+    assert all(got2[v] >= got1[v]["n_posts"] for v in got1)
