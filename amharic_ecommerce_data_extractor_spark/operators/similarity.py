@@ -124,3 +124,83 @@ def knn_lsh(
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)
             .select("query_id", "neighbor_id", "sim", "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer trained driver-side on a
+# sample, assignment + probing fully JVM-side. The cross join becomes an
+# equi join on cell id; recall is tuned with nprobe.
+# ---------------------------------------------------------------------------
+
+def ivf_train_centroids(corpus: DataFrame, n_cells: int = 16, dim: int = 64,
+                        sample_size: int = 4096, iters: int = 10,
+                        vec_col: str = "embedding", seed: int = 42):
+    """Lloyd's k-means on a driver-side sample (numpy); returns
+    list[list[float]] centroids. The sample is tiny and the centroids are
+    broadcast as literals — training cost is independent of corpus size."""
+    import numpy as np
+
+    rows = (corpus.select(vec_col).limit(sample_size).collect())
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(float(np.linalg.norm(m)), 1e-12)
+    return [[float(v) for v in c] for c in cent]
+
+
+def _cell_sims(vec_col, centroids):
+    """array<struct<sim double, cell int>> of cosine-to-centroid per cell
+    (centroids are unit vectors, so dot/|v| = cosine)."""
+    norm = _norm(vec_col)
+    return F.array(*[
+        F.struct((_dot(vec_col, F.array(*[F.lit(v) for v in c])) / norm).alias("sim"),
+                 F.lit(i).alias("cell"))
+        for i, c in enumerate(centroids)
+    ])
+
+
+def ivf_assign(df: DataFrame, centroids, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """One (id, vec, cell) row per input row — cell = nearest centroid."""
+    best = F.array_max(_cell_sims(F.col(vec_col), centroids))
+    return df.select(F.col(id_col), F.col(vec_col),
+                     best["cell"].alias("cell"))
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: corpus bucketed by nearest cell; each query probes
+    its nprobe nearest cells; exact cosine inside the probed buckets."""
+    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        "cell", _norm(F.col(vec_col)).alias("c_norm"))
+    probes = F.slice(F.reverse(F.array_sort(_cell_sims(F.col(vec_col), centroids))),
+                     1, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(F.transform(probes, lambda p: p["cell"])).alias("cell"))
+    pairs = (q.join(c, "cell")
+             .where(F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "neighbor_id",
+                     (_dot(F.col("q_vec"), F.col("c_vec"))
+                      / (F.col("q_norm") * F.col("c_norm"))).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (pairs.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "sim", "rnk"))
