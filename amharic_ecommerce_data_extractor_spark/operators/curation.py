@@ -1,0 +1,73 @@
+"""Training-corpus curation pipeline (graft-added): the standard sequence a
+100TB pretraining-data pipeline runs over a raw document pool —
+
+    exact dedup → near-dup dedup (MinHash-LSH components)
+    → language ID → quality scoring → length/token budget filters
+    → per-source caps — with a full audit of what each step dropped.
+
+Composes the engine's own primitives (operators.dedup, functions.textstats);
+everything is hash-keyed shuffles and narrow column expressions — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..functions import textstats as ts
+from .dedup import dedup
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    near_dup_threshold: float = 0.8,
+    per_source_cap: int | None = None,
+    source_col: str = "source",
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (curated_docs, audit). audit: one row per stage with rows
+    surviving — the per-stage lineage a data steward reads."""
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+
+    deduped = dedup(docs, id_col=id_col, text_col=text_col,
+                    threshold=near_dup_threshold)
+    stages.append(("dedup", deduped))
+
+    scored = deduped.withColumn("quality", ts.quality_score(F.col(text_col))) \
+                    .withColumn("n_tokens", ts.whitespace_token_count(F.col(text_col))) \
+                    .withColumn("script", ts.detect_script(F.col(text_col)))
+    filtered = scored.where(
+        (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens))
+    stages.append(("quality_and_length", filtered))
+
+    curated = filtered
+    if per_source_cap is not None and source_col in docs.columns:
+        w = Window.partitionBy(source_col).orderBy(F.desc("quality"), F.asc(id_col))
+        curated = (filtered.withColumn("_rn", F.row_number().over(w))
+                   .where(F.col("_rn") <= per_source_cap).drop("_rn"))
+        stages.append(("per_source_cap", curated))
+
+    spark = docs.sparkSession
+    audit = spark.createDataFrame(
+        [(i, name, df.count()) for i, (name, df) in enumerate(stages)],
+        "stage_idx int, stage string, rows_surviving long")
+    return curated, audit
+
+
+def token_budget_report(curated: DataFrame, text_col: str = "text",
+                        by: str | None = "source") -> DataFrame:
+    """Token accounting for training budgeting: whitespace + BPE-ish counts
+    per group."""
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(ts.whitespace_token_count(F.col(text_col))).alias("ws_tokens"),
+        F.sum(ts.bpe_ish_token_count(F.col(text_col))).alias("bpe_ish_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    ]
+    return curated.groupBy(by).agg(*aggs) if by else curated.agg(*aggs)

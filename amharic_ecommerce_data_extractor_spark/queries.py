@@ -681,3 +681,59 @@ def q35(spark, sf_dir):
         F.round(F.avg("height"), 6).alias("avg_height"),
         F.countDistinct("payload_sha256").alias("n_distinct_payloads"),
     )
+
+
+@_q("q36_curation_core", """
+WITH pool AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source FROM documents
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM pool) WHERE rn = 1
+),
+scored AS (
+  SELECT lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         0.3 * (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END)
+       + 0.3 * (len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+                / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1))
+       + 0.3 * least((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                      / greatest(length(text), 1)) * 1.25, 1.0)
+       + 0.1 * (1.0 - least((length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                             / greatest(length(text), 1)) * 4, 1.0)) AS q
+  FROM deduped)
+SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+FROM scored
+WHERE round(q, 6) >= 0.3 AND n_tokens BETWEEN 5 AND 1000
+GROUP BY lang
+""")
+def q36(spark, sf_dir):
+    # SQL-expressible curation core: exact dedup + quality + length filters
+    from pyspark.sql.window import Window
+
+    from amharic_ecommerce_data_extractor_spark.functions import textstats as ts
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    pool = d.unionByName(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                                  "text", "lang", "source"))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = pool.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    scored = deduped.select(
+        "lang",
+        ts.whitespace_token_count(F.col("text")).alias("n_tokens"),
+        ts.quality_score(F.col("text")).alias("q"))
+    return (scored.where((F.col("q") >= 0.3) & F.col("n_tokens").between(5, 1000))
+            .groupBy("lang").agg(F.count("*").alias("n_docs"),
+                                 F.sum("n_tokens").alias("total_tokens")))
+
+
+@_q("q37_curation_audit")  # near-dup CC inside: rows-only
+def q37(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.curation import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    _, audit = curate(docs, min_quality=0.3, min_tokens=5, per_source_cap=100)
+    return audit
