@@ -31,10 +31,12 @@ def curate(
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (curated_docs, audit). audit: one row per stage with rows
     surviving — the per-stage lineage a data steward reads."""
+    # each stage is persisted before the audit count — otherwise every
+    # count() action recomputes the whole upstream chain (incl. MinHash+CC)
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
 
     deduped = dedup(docs, id_col=id_col, text_col=text_col,
-                    threshold=near_dup_threshold)
+                    threshold=near_dup_threshold).persist()
     stages.append(("dedup", deduped))
 
     scored = deduped.withColumn("quality", ts.quality_score(F.col(text_col))) \
@@ -43,7 +45,7 @@ def curate(
     filtered = scored.where(
         (F.col("quality") >= min_quality)
         & (F.col("n_tokens") >= min_tokens)
-        & (F.col("n_tokens") <= max_tokens))
+        & (F.col("n_tokens") <= max_tokens)).persist()
     stages.append(("quality_and_length", filtered))
 
     curated = filtered
@@ -57,6 +59,10 @@ def curate(
     audit = spark.createDataFrame(
         [(i, name, df.count()) for i, (name, df) in enumerate(stages)],
         "stage_idx int, stage string, rows_surviving long")
+    curated = curated.persist()
+    curated.count()  # materialize before releasing the upstream caches
+    deduped.unpersist()
+    filtered.unpersist()
     return curated, audit
 
 

@@ -153,7 +153,13 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     cur = cur.localCheckpoint()
     prev_sig = None
     for _ in range(max_iter):
-        cur = _small_star(_large_star(cur)).localCheckpoint()
+        nxt = _small_star(_large_star(cur))
+        # adaptive parallelism: entity-link edge sets are usually tiny and
+        # per-iteration task overhead dominates at high partition counts;
+        # the signature (already collected each round) sizes the next round
+        if prev_sig is not None and prev_sig[0] < 100_000:
+            nxt = nxt.coalesce(8)
+        cur = nxt.localCheckpoint()
         sig = _signature(cur)
         if sig == prev_sig:
             break
