@@ -151,19 +151,27 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     caller (left join + coalesce to self)."""
     cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     cur = cur.localCheckpoint()
-    prev_sig = None
-    for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur))
-        # adaptive parallelism: entity-link edge sets are usually tiny and
-        # per-iteration task overhead dominates at high partition counts;
-        # the signature (already collected each round) sizes the next round
-        if prev_sig is not None and prev_sig[0] < 100_000:
-            nxt = nxt.coalesce(8)
-        cur = nxt.localCheckpoint()
-        sig = _signature(cur)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+    # adaptive parallelism: entity-link edge sets are usually tiny and
+    # per-iteration task/shuffle overhead dominates at high partition counts
+    small = _signature(cur)[0] < 100_000
+    spark = edges.sparkSession
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if small:
+            cur = cur.coalesce(8).localCheckpoint()
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        prev_sig = None
+        for _ in range(max_iter):
+            nxt = _small_star(_large_star(cur))
+            if small:
+                nxt = nxt.coalesce(8)
+            cur = nxt.localCheckpoint()
+            sig = _signature(cur)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     # fixed point: every edge points node → component root
     comp = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = comp.select(F.col("component").alias("node"),
