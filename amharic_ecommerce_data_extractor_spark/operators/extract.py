@@ -105,6 +105,7 @@ def extract_entities(
     model_dir: str | None = None,
     target_partitions: int | None = None,
     include_tokens: bool = True,
+    include_clean_text: bool = True,
 ) -> DataFrame:
     """messages → messages + entity columns. Narrow plan, zero shuffles.
 
@@ -134,8 +135,13 @@ def extract_entities(
         return with_entities_expr(out, clean_col="preprocessed_text",
                                   with_contact_rule=with_contact_rule)
 
-    fields = ENTITY_FIELDS if include_tokens else [
-        f for f in ENTITY_FIELDS if f.name not in ("tokens", "labels")]
+    drop = set()
+    if not include_tokens:
+        drop |= {"tokens", "labels"}
+    if not include_clean_text:
+        # content-sized string crossing Arrow back; the KG stages never read it
+        drop.add("preprocessed_text")
+    fields = [f for f in ENTITY_FIELDS if f.name not in drop]
     array_fields = [f.name for f in fields if f.name != "preprocessed_text"]
     entity_struct = T.StructType(fields)
 
@@ -148,7 +154,9 @@ def extract_entities(
             recs = _extract_batch_hf(clean, model_dir or "")
         else:
             raise ValueError(f"unknown backend {backend!r}")
-        out = pd.DataFrame({"preprocessed_text": clean.reset_index(drop=True)})
+        out = pd.DataFrame(index=clean.reset_index(drop=True).index)
+        if "preprocessed_text" not in drop:
+            out["preprocessed_text"] = clean.reset_index(drop=True)
         for field in array_fields:
             out[field] = [r[field] for r in recs]
         return out

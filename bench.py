@@ -61,8 +61,8 @@ def run_kg(spark, n_messages: int) -> dict:
         t0 = time.perf_counter()
         msgs = spark.read.parquet(msgs_path)
         ext_path = f"{workdir}/extracted"
-        extract_entities(msgs, target_partitions=cores * 3,
-                         include_tokens=False).write.parquet(ext_path)
+        extract_entities(msgs, target_partitions=cores * 3, include_tokens=False,
+                         include_clean_text=False).write.parquet(ext_path)
         t_extract = time.perf_counter() - t0
 
         extracted = spark.read.parquet(ext_path)
