@@ -95,3 +95,31 @@ def media_profile(media: DataFrame) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.avg(F.length("payload")), 2).alias("avg_bytes"),
         F.max(F.length("payload")).alias("max_bytes"))
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize plumbing: Arrow-batched mapInPandas with the codec stubbed
+    (deterministic fake payload = sha256 of (payload, w, h) bytes). Swap the
+    stub for PIL's resize in production; schema/batching stay identical."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                if data[:4] == b"REAL":
+                    raise NotImplementedError(
+                        "real image resize requires PIL/libvips on executors")
+                fake = hashlib.sha256(data + f"{width}x{height}".encode()).digest()
+                recs.append({"media_id": int(mid), "width": width,
+                             "height": height, "payload": fake})
+            yield pd.DataFrame(recs, columns=[f.name for f in out_schema.fields])
+
+    img = media.where(F.col("media_type") == "image").select("media_id", "payload")
+    return img.mapInPandas(run, schema=out_schema)

@@ -155,3 +155,22 @@ def test_span_alignment():
     spans2 = [{"entity_group": "PRODUCT", "start": 0, "end": 12},
               {"entity_group": "LOC", "start": 5, "end": 12}]
     assert align_spans_to_tokens(sent, toks, spans2)[1] == "I-PRODUCT"
+
+
+def test_resize_images(spark, media):
+    from amharic_ecommerce_data_extractor_spark.operators.multimodal import resize_images
+
+    rows = resize_images(media, 128, 96).collect()
+    assert {r["media_id"] for r in rows} == {1, 2}
+    assert all(r["width"] == 128 and r["height"] == 96 for r in rows)
+    again = resize_images(media, 128, 96).collect()
+    assert {bytes(r["payload"]) for r in rows} == {bytes(r["payload"]) for r in again}
+
+
+def test_hf_backend_gated(spark):
+    from amharic_ecommerce_data_extractor_spark.operators.extract import extract_entities
+
+    df = spark.createDataFrame([(1, "hello")], "message_id long, content string")
+    import pytest as _pt
+    with _pt.raises(Exception, match="transformers|NotImplementedError|rules"):
+        extract_entities(df, backend="hf", model_dir="/nonexistent").collect()
