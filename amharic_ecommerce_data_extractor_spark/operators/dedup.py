@@ -65,10 +65,14 @@ def minhash_duplicate_pairs(
         F.col(id_col).alias("nid"),
         word_shingles(F.col(text_col), shingle_words).alias("shingles"),
     ).where(F.size("shingles") > 0)
-    banded = sh.select(
+    # barrier before banding: see linking.lsh_candidate_pairs — prevents the
+    # signature from being recomputed per band and per self-join side
+    sig_df = sh.withColumn(
+        "minhash", minhash_signature(F.col("shingles"), bands * rows)
+    ).localCheckpoint()
+    banded = sig_df.select(
         "nid", "shingles",
-        F.explode(band_keys(minhash_signature(F.col("shingles"), bands * rows),
-                            bands, rows)).alias("bk"),
+        F.explode(band_keys(F.col("minhash"), bands, rows)).alias("bk"),
     ).select("nid", "shingles", "bk.band", "bk.sig")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

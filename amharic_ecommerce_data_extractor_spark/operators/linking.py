@@ -83,9 +83,15 @@ def lsh_candidate_pairs(
         F.col(text_col).alias("txt"),
         char_shingles(F.col(text_col), shingle_n).alias("shingles"),
     ).where(F.size("shingles") > 0)
-    banded = sh.select(
+    # localCheckpoint = optimizer barrier: without it the MinHash signature
+    # subtree is re-inlined (CollapseProject) and recomputed once per band
+    # AND once per self-join side
+    sig_df = sh.withColumn(
+        "minhash", minhash_signature(F.col("shingles"), bands * rows)
+    ).localCheckpoint()
+    banded = sig_df.select(
         "nid", "shingles",
-        F.explode(band_keys(minhash_signature(F.col("shingles"), bands * rows), bands, rows)).alias("bk"),
+        F.explode(band_keys(F.col("minhash"), bands, rows)).alias("bk"),
     ).select("nid", "shingles", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
 
     a = banded.alias("a")
