@@ -262,7 +262,7 @@ def q10(spark, sf_dir):
 SELECT lang, count(*) AS n_docs,
        round(avg(length(text)), 6) AS avg_len,
        round(avg(len(string_split_regex(trim(text), '\\s+'))), 6) AS avg_words,
-       sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS n_empty
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
 FROM documents GROUP BY lang
 """)
 def q11(spark, sf_dir):
@@ -327,9 +327,9 @@ def q15(spark, sf_dir):
 
 @_q("q16_langid_heuristic", """
 SELECT lang,
-       sum(CASE WHEN length(regexp_replace(lower(text), '[a-z0-9\\s.,!?;:''"-]', '', 'g'))
+       CAST(sum(CASE WHEN length(regexp_replace(lower(text), '[a-z0-9\\s.,!?;:''"-]', '', 'g'))
                      <= 0.05 * length(text)
-                THEN 1 ELSE 0 END) AS n_latin,
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_latin,
        count(*) AS n_docs
 FROM documents GROUP BY lang
 """)
@@ -482,8 +482,9 @@ WITH marked AS (
   FROM events),
 sess AS (
   SELECT user_id, event_id,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM marked)
 SELECT user_id, session_id, count(*) AS n_events
 FROM sess GROUP BY user_id, session_id
@@ -532,7 +533,7 @@ ranked AS (
   SELECT doc_id, text,
          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM unioned)
-SELECT count(*) AS n_kept, sum(length(text)) AS total_chars
+SELECT count(*) AS n_kept, CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM ranked WHERE rn = 1
 """)
 def q27(spark, sf_dir):
@@ -705,7 +706,7 @@ scored AS (
        + 0.1 * (1.0 - least((length(regexp_replace(text, '[\\w\\s]', '', 'g'))
                              / greatest(length(text), 1)) * 4, 1.0)) AS q
   FROM deduped)
-SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM scored
 WHERE round(q, 6) >= 0.3 AND n_tokens BETWEEN 5 AND 1000
 GROUP BY lang

@@ -1,6 +1,14 @@
 """Runs every queries.py entry on Spark AND its DuckDB oracle twin, then
-compares row counts, column names and values (order-insensitive, columns
-sorted by name) — a local mirror of the driver's CORRECTNESS gate."""
+compares row counts, column names, column TYPES (canonicalized across the
+two engines) and values EXACTLY (order-insensitive, columns sorted by name).
+
+This mirrors the driver's CORRECTNESS gate, which hashes values in a
+type-width-sensitive way: a DuckDB HUGEINT (int128, from sum() over
+integers) vs a Spark BIGINT hash-mismatches even when the values are equal.
+Round-1 lesson: a tolerance-based compare can never catch that class, so
+this test is exact — types included, no float epsilon. Both sides wrap
+every double output in round(x, 6), so exact equality is the contract.
+"""
 
 import math
 
@@ -21,6 +29,47 @@ def ddb(sf_dir):
     return con
 
 
+def _canon_spark_type(dt: str) -> str:
+    """Spark simpleString → canonical type label shared with DuckDB/arrow."""
+    dt = dt.lower()
+    # int32/int64 are one family: the driver's value-hash (and round-1
+    # evidence, q21 rnk int-vs-bigint passing) treats them alike; only the
+    # HUGEINT/decimal widening is hash-visible
+    if dt in ("bigint", "long", "int", "integer", "smallint", "tinyint"):
+        return "int"
+    if dt in ("double", "float"):
+        return "float64"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    if dt.startswith("array"):
+        return "list"
+    return dt  # string, date, boolean, ...
+
+
+def _canon_arrow_type(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float64" if pa.types.is_float64(t) else "float32"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    return str(t)
+
+
 def _normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -28,50 +77,48 @@ def _normalize(rows, cols):
         vals = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
-                v = round(v, 6)
-                if v == -0.0:
-                    v = 0.0
+            if isinstance(v, float) and v == 0.0:
+                v = 0.0  # fold -0.0 into +0.0 (both engines round() first)
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=repr)
     return out
 
 
+def _rows_equal(g, w):
+    if len(g) != len(w):
+        return False
+    for a, b in zip(g, w):
+        if isinstance(a, float) and isinstance(b, float) \
+                and math.isnan(a) and math.isnan(b):
+            continue
+        if a != b:
+            return False
+    return True
+
+
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
 def test_query_matches_oracle(spark, sf_dir, ddb, name):
     sdf = SPARK_QUERIES[name](spark, sf_dir)
     scols = sdf.columns
+    stypes = {f.name: _canon_spark_type(f.dataType.simpleString()) for f in sdf.schema.fields}
     srows = [tuple(r) for r in sdf.collect()]
 
-    res = ddb.execute(ORACLE_SQL[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    arrow = ddb.execute(ORACLE_SQL[name]).fetch_arrow_table()
+    dcols = arrow.column_names
+    dtypes = {n: _canon_arrow_type(arrow.schema.field(n).type) for n in dcols}
+    drows = [tuple(d.values()) for d in arrow.to_pylist()]
 
     assert sorted(scols) == sorted(dcols), (scols, dcols)
+    # exact type parity: this is what the driver's value-hash is sensitive to
+    type_mismatch = {c: (stypes[c], dtypes[c]) for c in scols if stypes[c] != dtypes[c]}
+    assert not type_mismatch, f"{name}: column type mismatch {type_mismatch}"
     assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)} rows"
 
     got = _normalize(srows, scols)
     want = _normalize(drows, dcols)
-    mismatch = [
-        (g, w) for g, w in zip(got, want)
-        if not _rows_close(g, w)
-    ]
+    mismatch = [(g, w) for g, w in zip(got, want) if not _rows_equal(g, w)]
     assert not mismatch, f"{name}: first mismatches {mismatch[:3]}"
-
-
-def _rows_close(g, w):
-    if len(g) != len(w):
-        return False
-    for a, b in zip(g, w):
-        if isinstance(a, float) and isinstance(b, float):
-            if math.isnan(a) and math.isnan(b):
-                continue
-            if abs(a - b) > 1e-6 * max(1.0, abs(a), abs(b)):
-                return False
-        elif a != b:
-            return False
-    return True
 
 
 def test_all_queries_have_entries():
