@@ -85,6 +85,133 @@ def vendor_scorecard(extracted: pd.DataFrame, vendor_col: str = "repo") -> pd.Da
     )
 
 
+def round_half_up(v, n: int = 6):
+    """Spark-compatible rounding: java.math.BigDecimal.valueOf(double)
+    (shortest decimal repr, same as Python repr) quantized HALF_UP — NOT
+    Python's round() (HALF_EVEN). Used when pinning fixture values the
+    driver compares exactly against Spark's F.round output."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return v
+    return float(Decimal(repr(float(v))).quantize(
+        Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP))
+
+
+def triples_profile(triples: pd.DataFrame) -> pd.DataFrame:
+    """Twin of queries.q32: per-predicate triple/subject/object counts."""
+    g = triples.groupby("pred", sort=True)
+    out = pd.DataFrame({
+        "pred": list(g.groups.keys()),
+        "n_triples": g.size().values,
+        "n_subjects": g["subj"].nunique().values,
+        "n_objects": g["obj"].nunique().values,
+    })
+    for c in ("n_triples", "n_subjects", "n_objects"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def scorecard_view(sc: pd.DataFrame) -> pd.DataFrame:
+    """Twin of queries.q33: the scorecard projection with Spark-equivalent
+    HALF_UP rounding."""
+    out = pd.DataFrame({
+        "vendor": sc["vendor"],
+        "total_posts": sc["total_posts"].astype("int64"),
+        "avg_views_per_post": [round_half_up(v) for v in sc["avg_views_per_post"]],
+        "posts_per_week": [round_half_up(v) for v in sc["posts_per_week"]],
+        "lending_score_0_100": [round_half_up(v) for v in sc["lending_score_0_100"]],
+    })
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Independent pandas twin of the md5-variant MinHash-LSH canonicalization
+# (operators/linking.py with hash_fn='md5') — union-find instead of
+# large-star/small-star, hashlib instead of Spark expressions.
+# ---------------------------------------------------------------------------
+
+def _md5_60bit(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _char_shingles(s: str, n: int = 3) -> frozenset:
+    s = s.strip().lower()
+    return frozenset(s[i:i + n] for i in range(max(len(s) - (n - 1), 1)))
+
+
+def entity_surfaces(extracted: pd.DataFrame) -> pd.DataFrame:
+    """Twin of plans.pipeline.entity_surfaces: distinct non-empty
+    (type, surface) from the products/locations arrays."""
+    rows = set()
+    for col, etype in (("products", "PRODUCT"), ("locations", "LOC")):
+        for arr in extracted[col]:
+            for surf in arr:
+                if surf.strip():
+                    rows.add((etype, surf))
+    return pd.DataFrame(sorted(rows), columns=["type", "surface"])
+
+
+def canonicalize_counts(surfaces: pd.DataFrame, shingle_n: int = 3,
+                        bands: int = 8, rows: int = 2,
+                        threshold: float = 0.6) -> pd.DataFrame:
+    """Twin of queries.q34: (type, n_surfaces, n_canonical) after md5-MinHash
+    LSH blocking + exact-Jaccard verify + connected components (union-find)."""
+    import hashlib
+    from collections import defaultdict
+
+    nodes = []  # (node_id, type, shingles)
+    for t, s in zip(surfaces["type"], surfaces["surface"]):
+        nid = _md5_60bit(f"{t}\x1f{s}")
+        nodes.append((nid, t, _char_shingles(s, shingle_n)))
+
+    num_hashes = bands * rows
+    buckets: dict[tuple[int, str], list[int]] = defaultdict(list)
+    shingles_of: dict[int, frozenset] = {}
+    for nid, _t, sh in nodes:
+        shingles_of[nid] = sh
+        sig = [min(_md5_60bit(f"{i}:{g}") for g in sh) for i in range(num_hashes)]
+        for b in range(bands):
+            key = ",".join(str(v) for v in sig[b * rows:(b + 1) * rows])
+            bsig = hashlib.md5(key.encode()).hexdigest()
+            buckets[(b, bsig)].append(nid)
+
+    parent: dict[int, int] = {nid: nid for nid, _, _ in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for i, a in enumerate(ms):
+            for b in ms[i + 1:]:
+                sa, sb = shingles_of[a], shingles_of[b]
+                jac = len(sa & sb) / len(sa | sb)
+                if jac >= threshold:
+                    union(a, b)
+
+    per_type: dict[str, list[int]] = defaultdict(list)
+    for nid, t, _sh in nodes:
+        per_type[t].append(find(nid))
+    out = pd.DataFrame(
+        [(t, len(v), len(set(v))) for t, v in sorted(per_type.items())],
+        columns=["type", "n_surfaces", "n_canonical"])
+    out["n_surfaces"] = out["n_surfaces"].astype("int64")
+    out["n_canonical"] = out["n_canonical"].astype("int64")
+    return out
+
+
 def precision_recall(got: set, want: set) -> tuple[float, float]:
     if not got and not want:
         return 1.0, 1.0

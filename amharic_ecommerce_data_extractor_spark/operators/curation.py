@@ -28,15 +28,18 @@ def curate(
     near_dup_threshold: float = 0.8,
     per_source_cap: int | None = None,
     source_col: str = "source",
+    hash_fn: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (curated_docs, audit). audit: one row per stage with rows
-    surviving — the per-stage lineage a data steward reads."""
+    surviving — the per-stage lineage a data steward reads.
+    hash_fn='md5' makes the near-dup stage cross-engine reproducible
+    (see linking.minhash_signature)."""
     # each stage is persisted before the audit count — otherwise every
     # count() action recomputes the whole upstream chain (incl. MinHash+CC)
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
 
     deduped = dedup(docs, id_col=id_col, text_col=text_col,
-                    threshold=near_dup_threshold).persist()
+                    threshold=near_dup_threshold, hash_fn=hash_fn).persist()
     stages.append(("dedup", deduped))
 
     scored = deduped.withColumn("quality", ts.quality_score(F.col(text_col))) \

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from .linking import band_keys, connected_components, minhash_signature
+from .linking import banded_candidate_pairs, connected_components, minhash_signature
 
 
 def word_shingles(col, n: int = 3):
@@ -59,8 +59,11 @@ def minhash_duplicate_pairs(
     bands: int = 8,
     rows: int = 2,
     threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Verified near-duplicate pairs (src, dst, jaccard), src < dst."""
+    """Verified near-duplicate pairs (src, dst, jaccard), src < dst.
+    Band self-join carries ids only (see linking.banded_candidate_pairs);
+    hash_fn='md5' is the cross-engine-verifiable variant."""
     sh = df.select(
         F.col(id_col).alias("nid"),
         word_shingles(F.col(text_col), shingle_words).alias("shingles"),
@@ -68,24 +71,11 @@ def minhash_duplicate_pairs(
     # barrier before banding: see linking.lsh_candidate_pairs — prevents the
     # signature from being recomputed per band and per self-join side
     sig_df = sh.withColumn(
-        "minhash", minhash_signature(F.col("shingles"), bands * rows)
+        "minhash", minhash_signature(F.col("shingles"), bands * rows, hash_fn)
     ).localCheckpoint()
-    banded = sig_df.select(
-        "nid", "shingles",
-        F.explode(band_keys(F.col("minhash"), bands, rows)).alias("bk"),
-    ).select("nid", "shingles", "bk.band", "bk.sig")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, on=["band", "sig"])
-        .where(F.col("a.nid") < F.col("b.nid"))
-        .select(F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"),
-                F.col("a.shingles").alias("sa"), F.col("b.shingles").alias("sb"))
-        .dropDuplicates(["src", "dst"])
-    )
-    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
-    return (cand.withColumn("jaccard", jac)
-            .where(F.col("jaccard") >= threshold)
-            .select("src", "dst", "jaccard"))
+    return (banded_candidate_pairs(sig_df, bands, rows, hash_fn)
+            .where(F.col("sim") >= threshold)
+            .withColumnRenamed("sim", "jaccard"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 2, threshold: float = 0.5,
@@ -116,6 +106,30 @@ def simhash64(col):
     return F.array_join(bits, "")
 
 
+def simhash64_md5(col):
+    """Cross-engine-verifiable SimHash64 twin of :func:`simhash64`: the
+    per-word hash is md5 instead of xxhash64, with bit b of the 64-bit hash
+    read straight out of the hex string — hex digit b//4, bit 3-(b%4) —
+    via arithmetic both Spark and DuckDB evaluate identically
+    (floor(digit / 2^k) % 2). Used by the driver oracle (q29); the xxhash64
+    variant stays the production default (faster JVM hash)."""
+    words = F.array_distinct(F.split(F.trim(F.lower(col)), r"\s+"))
+    hexes = F.transform(words, lambda w: F.md5(w))
+
+    def vote(hx, b):
+        digit = F.conv(F.substring(hx, (b / 4).cast("int") + 1, 1), 16, 10).cast("int")
+        bit = F.floor(digit / F.pow(F.lit(2.0), (F.lit(3) - b % 4).cast("double"))).cast("int") % 2
+        return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda b: F.when(
+            F.aggregate(hexes, F.lit(0), lambda acc, hx: acc + vote(hx, b)) > 0,
+            F.lit("1")).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")
+
+
 def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Groups of documents sharing an identical 64-bit SimHash."""
@@ -138,7 +152,7 @@ def embedding_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
 
 
 def dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-          threshold: float = 0.7) -> DataFrame:
+          threshold: float = 0.7, hash_fn: str = "xxhash64") -> DataFrame:
     """End-to-end dedup: exact first (cheap hash shuffle), then MinHash
     near-dup components; keeps the lowest id per component."""
     hashed = df.withColumn("_fp", F.sha2(F.col(text_col), 256))
@@ -147,7 +161,7 @@ def dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   .where(F.col("_rn") == 1).drop("_rn", "_fp"))
 
     pairs = minhash_duplicate_pairs(exact_kept, id_col=id_col, text_col=text_col,
-                                    threshold=threshold)
+                                    threshold=threshold, hash_fn=hash_fn)
     comp = connected_components(pairs.select("src", "dst"))
     joined = exact_kept.join(comp, exact_kept[id_col] == comp.node, "left")
     keep = F.coalesce(F.col("component"), F.col(id_col))

@@ -42,30 +42,89 @@ def char_shingles(col, n: int = 3):
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingles_col, num_hashes: int = 16):
-    """array<long>: per seed i, min over shingles of xxhash64(shingle, i).
+def minhash_signature(shingles_col, num_hashes: int = 16, hash_fn: str = "xxhash64"):
+    """array<long>: per seed i, min over shingles of hash_i(shingle).
     All JVM, and ONE nested-transform expression tree (a per-seed python loop
-    of separate array_min expressions makes Catalyst analysis time explode)."""
+    of separate array_min expressions makes Catalyst analysis time explode).
+
+    hash_fn:
+    * ``xxhash64`` (default) — fastest JVM path, Spark-specific.
+    * ``md5`` — hash_i(s) = first 15 hex chars of md5(i || ':' || s) as a
+      60-bit integer. Slower, but byte-identical to DuckDB
+      (``CAST('0x'||substr(md5(...),1,15) AS BIGINT)``) and Python hashlib —
+      the cross-engine-verifiable variant used by the driver oracles and the
+      pandas parity oracle.
+    """
+    if hash_fn == "xxhash64":
+        def h(sh, i):
+            return F.xxhash64(sh, i)
+    elif hash_fn == "md5":
+        def h(sh, i):
+            hx = F.md5(F.concat(i.cast("string"), F.lit(":"), sh))
+            return F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(shingles_col, lambda sh: F.xxhash64(sh, i))),
+        lambda i: F.array_min(F.transform(shingles_col, lambda sh: h(sh, i))),
     )
 
 
-def band_keys(sig_col, bands: int, rows: int):
-    """array<struct<band:int, sig:long>> — one LSH key per band (xxhash64 of
-    the band's signature slice)."""
+def band_keys(sig_col, bands: int, rows: int, hash_fn: str = "xxhash64"):
+    """array<struct<band:int, sig:string|long>> — one LSH key per band (hash
+    of the band's signature slice; md5-of-csv for the cross-engine variant)."""
+    if hash_fn == "xxhash64":
+        def bh(sl):
+            return F.xxhash64(sl)
+    elif hash_fn == "md5":
+        def bh(sl):
+            return F.md5(F.array_join(F.transform(sl, lambda v: v.cast("string")), ","))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
             b.cast("int").alias("band"),
-            F.xxhash64(F.slice(sig_col, b * rows + 1, F.lit(rows))).alias("sig"),
+            bh(F.slice(sig_col, b * rows + 1, F.lit(rows))).alias("sig"),
         ),
     )
 
 
 def jaccard(a, b):
     return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def banded_candidate_pairs(sig_df: DataFrame, bands: int, rows: int,
+                           hash_fn: str = "xxhash64") -> DataFrame:
+    """(nid, shingles, minhash) → verified (src, dst, sim), src < dst.
+
+    Scale-critical shape: the band self-join carries ONLY (nid, band, sig) —
+    document content (shingle arrays) never rides the banded exchange. With
+    content in the banded frame each document's shingles would be replicated
+    once per band on BOTH join sides (~2×bands content amplification in the
+    shuffle at 100 TB). Instead the deduplicated candidate pairs rejoin the
+    (checkpointed) nid→shingles frame once per side — content crosses a
+    shuffle at most once per side, independent of band count.
+    """
+    banded = sig_df.select(
+        "nid", F.explode(band_keys(F.col("minhash"), bands, rows, hash_fn)).alias("bk"),
+    ).select("nid", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, on=["band", "sig"])
+        .where(F.col("a.nid") < F.col("b.nid"))
+        .select(F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    sh = sig_df.select("nid", "shingles")
+    pairs = (
+        cand.join(sh.select(F.col("nid").alias("src"), F.col("shingles").alias("sh_a")), "src")
+        .join(sh.select(F.col("nid").alias("dst"), F.col("shingles").alias("sh_b")), "dst")
+    )
+    return pairs.withColumn("sim", jaccard(F.col("sh_a"), F.col("sh_b"))) \
+                .select("src", "dst", "sim")
 
 
 def lsh_candidate_pairs(
@@ -76,38 +135,21 @@ def lsh_candidate_pairs(
     bands: int = 8,
     rows: int = 2,
     threshold: float = 0.6,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(node_id, surface) → verified similar pairs (src, dst, sim), src < dst."""
     sh = surfaces.select(
         F.col(id_col).alias("nid"),
-        F.col(text_col).alias("txt"),
         char_shingles(F.col(text_col), shingle_n).alias("shingles"),
     ).where(F.size("shingles") > 0)
     # localCheckpoint = optimizer barrier: without it the MinHash signature
     # subtree is re-inlined (CollapseProject) and recomputed once per band
     # AND once per self-join side
     sig_df = sh.withColumn(
-        "minhash", minhash_signature(F.col("shingles"), bands * rows)
+        "minhash", minhash_signature(F.col("shingles"), bands * rows, hash_fn)
     ).localCheckpoint()
-    banded = sig_df.select(
-        "nid", "shingles",
-        F.explode(band_keys(F.col("minhash"), bands, rows)).alias("bk"),
-    ).select("nid", "shingles", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(b, on=["band", "sig"])
-        .where(F.col("a.nid") < F.col("b.nid"))
-        .select(F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"),
-                F.col("a.shingles").alias("sh_a"), F.col("b.shingles").alias("sh_b"))
-        .dropDuplicates(["src", "dst"])
-    )
-    return (
-        cand.withColumn("sim", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .where(F.col("sim") >= threshold)
-        .select("src", "dst", "sim")
-    )
+    return (banded_candidate_pairs(sig_df, bands, rows, hash_fn)
+            .where(F.col("sim") >= threshold))
 
 
 # ---------------------------------------------------------------------------
@@ -158,26 +200,24 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     cur = cur.localCheckpoint()
     # adaptive parallelism: entity-link edge sets are usually tiny and
-    # per-iteration task/shuffle overhead dominates at high partition counts
+    # per-iteration task/shuffle overhead dominates at high partition counts.
+    # Explicit per-frame repartition only — NEVER mutate session conf here
+    # (a mid-run spark.sql.shuffle.partitions override silently leaks into
+    # concurrently-planned queries in the same session); AQE coalescing
+    # shrinks the interior groupBy/join exchanges on its own.
     small = _signature(cur)[0] < 100_000
-    spark = edges.sparkSession
-    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
+    if small:
+        cur = cur.repartition(8).localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur))
         if small:
-            cur = cur.coalesce(8).localCheckpoint()
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
-        prev_sig = None
-        for _ in range(max_iter):
-            nxt = _small_star(_large_star(cur))
-            if small:
-                nxt = nxt.coalesce(8)
-            cur = nxt.localCheckpoint()
-            sig = _signature(cur)
-            if sig == prev_sig:
-                break
-            prev_sig = sig
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+            nxt = nxt.coalesce(8)
+        cur = nxt.localCheckpoint()
+        sig = _signature(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
     # fixed point: every edge points node → component root
     comp = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = comp.select(F.col("component").alias("node"),
@@ -197,19 +237,28 @@ def canonicalize_surfaces(
     bands: int = 8,
     rows: int = 2,
     threshold: float = 0.6,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """distinct (type, surface) → (type, surface, node_id, canonical_id,
     canonical_surface). Linking never crosses entity types (node ids are
-    hashed over (type, surface))."""
+    hashed over (type, surface)). hash_fn='md5' makes node ids and MinHash
+    cross-engine reproducible (see minhash_signature)."""
+    if hash_fn == "md5":
+        node_id = F.conv(F.substring(
+            F.md5(F.concat(F.col(type_col), F.lit("\x1f"), F.col(text_col))), 1, 15,
+        ), 16, 10).cast("long")
+    else:
+        node_id = F.xxhash64(type_col, text_col)
     nodes = surfaces.select(
         F.col(type_col).alias("type"),
         F.col(text_col).alias("surface"),
-        F.xxhash64(type_col, text_col).alias("node_id"),
+        node_id.alias("node_id"),
     ).dropDuplicates(["type", "surface"])
 
     pairs = lsh_candidate_pairs(
         nodes, id_col="node_id", text_col="surface",
         shingle_n=shingle_n, bands=bands, rows=rows, threshold=threshold,
+        hash_fn=hash_fn,
     )
     comp = connected_components(pairs.select("src", "dst"))
 

@@ -74,11 +74,32 @@ def simhash_signature(vec_col, planes: list[list[float]]):
     return F.concat(*bits)
 
 
-def _planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
-    import random
+def _planes(n_planes: int, dim: int, seed: int = 42,
+            plane_fn: str = "gauss") -> list[list[float]]:
+    """Random hyperplanes for SimHash bucketing.
 
-    rng = random.Random(seed)
-    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    * ``gauss`` (default): seeded Gaussian — the classic random-projection
+      family.
+    * ``rademacher_md5``: ±1 components with sign = parity of the first hex
+      digit of md5("{plane}:{dim}"). Rademacher projections are an equally
+      valid LSH family (Achlioptas-style sparse/sign projections), and this
+      derivation is reproducible in ANY engine with md5 — it is what lets
+      the DuckDB oracle recompute identical bucket signatures (q30).
+    """
+    if plane_fn == "gauss":
+        import random
+
+        rng = random.Random(seed)
+        return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    if plane_fn == "rademacher_md5":
+        import hashlib
+
+        def sign(p: int, d: int) -> float:
+            digit = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16)
+            return 1.0 if digit % 2 == 1 else -1.0
+
+        return [[sign(p, d) for d in range(dim)] for p in range(n_planes)]
+    raise ValueError(f"unknown plane_fn {plane_fn!r}")
 
 
 def knn_lsh(
@@ -91,12 +112,13 @@ def knn_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    plane_fn: str = "gauss",
 ) -> DataFrame:
     """Approximate cosine top-k: SimHash band bucketing → equi-join on
     (band, signature) → exact cosine inside buckets → per-query top-k.
     At 100TB this replaces the cross join with a shuffle on bucket keys;
     skewed buckets are split by AQE."""
-    planes = _planes(n_bands * bits_per_band, dim, seed)
+    planes = _planes(n_bands * bits_per_band, dim, seed, plane_fn)
 
     def with_bands(df: DataFrame, idn: str) -> DataFrame:
         out = df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(f"{idn}_vec"))

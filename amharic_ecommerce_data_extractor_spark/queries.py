@@ -568,17 +568,88 @@ def q28(spark, sf_dir):
                                  F.count("*").alias("n")))
 
 
-@_q("q29_simhash_bucket_profile")  # xxhash64-based: no DuckDB twin (rows-only)
+@_q("q29_simhash_bucket_profile", """
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS w
+  FROM documents),
+hashed AS (SELECT doc_id, md5(w) AS hx FROM words),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN CAST(floor(
+                    CAST(CAST('0x' || substr(hx, CAST(b // 4 AS INT) + 1, 1) AS UBIGINT) AS DOUBLE)
+                    / pow(2, 3 - (b % 4))) AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM hashed CROSS JOIN (SELECT unnest(range(64)) AS b)
+  GROUP BY doc_id, b),
+sim AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+  FROM votes GROUP BY doc_id)
+SELECT substr(simhash, 1, 8) AS bucket, count(*) AS n
+FROM sim GROUP BY bucket ORDER BY n DESC, bucket ASC LIMIT 20
+""")
 def q29(spark, sf_dir):
-    from amharic_ecommerce_data_extractor_spark.operators.dedup import simhash64
+    # md5-derived SimHash (dedup.simhash64_md5) so the bit-exact DuckDB twin
+    # above can recompute it; the xxhash64 variant (dedup.simhash64) is the
+    # production default and is pinned by unit tests instead
+    from amharic_ecommerce_data_extractor_spark.operators.dedup import simhash64_md5
 
     d = _t(spark, sf_dir, "documents")
-    return (d.select(F.substring(simhash64(F.col("text")), 1, 8).alias("bucket"))
+    return (d.select(F.substring(simhash64_md5(F.col("text")), 1, 8).alias("bucket"))
             .groupBy("bucket").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc("bucket")).limit(20))
 
 
-@_q("q30_knn_lsh_recall")  # probabilistic LSH: no SQL twin (rows-only)
+@_q("q30_knn_lsh_recall", """
+-- full twin of the SimHash-LSH KNN recall probe: the Rademacher(md5) plane
+-- family (similarity._planes plane_fn='rademacher_md5') is recomputed here,
+-- so exact AND approximate sides are both independently derived.
+WITH planes AS (
+  SELECT p, list_transform(range(64), d ->
+           CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)
+                     AS UBIGINT) % 2 = 1
+                THEN 1.0 ELSE -1.0 END) AS pv
+  FROM (SELECT unnest(range(64)) AS p)),
+sigs AS (
+  SELECT vec_id, CAST(p // 8 AS INT) AS band,
+         string_agg(CASE WHEN list_dot_product(embedding, pv) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM embeddings CROSS JOIN planes GROUP BY vec_id, band),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                       e.vec_id ASC) AS rnk
+    FROM q CROSS JOIN embeddings e WHERE q.vec_id <> e.vec_id)
+  WHERE rnk <= 5),
+cand AS (
+  SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
+  FROM sigs qs
+  JOIN sigs cs ON qs.band = cs.band AND qs.sig = cs.sig
+  WHERE qs.vec_id % 100 = 0 AND qs.vec_id <> cs.vec_id),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY list_cosine_similarity(eq.embedding, en.embedding) DESC,
+                                       c.neighbor_id ASC) AS rnk
+    FROM cand c
+    JOIN embeddings eq ON eq.vec_id = c.query_id
+    JOIN embeddings en ON en.vec_id = c.neighbor_id)
+  WHERE rnk <= 5),
+hits AS (
+  SELECT exact.query_id, count(*) AS n_hits
+  FROM exact JOIN approx USING (query_id, neighbor_id)
+  GROUP BY exact.query_id),
+n_ex AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+SELECT n_ex.query_id,
+       round(coalesce(n_hits, 0) / n_exact, 4) AS recall_at_5
+FROM n_ex LEFT JOIN hits ON n_ex.query_id = hits.query_id
+ORDER BY n_ex.query_id
+""")
 def q30(spark, sf_dir):
     from amharic_ecommerce_data_extractor_spark.operators.similarity import (
         knn_bruteforce,
@@ -588,7 +659,8 @@ def q30(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     exact = knn_bruteforce(queries, emb, k=5).select("query_id", "neighbor_id")
-    approx = knn_lsh(queries, emb, k=5).select("query_id", "neighbor_id")
+    approx = knn_lsh(queries, emb, k=5,
+                     plane_fn="rademacher_md5").select("query_id", "neighbor_id")
     hit = exact.join(approx, on=["query_id", "neighbor_id"]).groupBy("query_id") \
         .agg(F.count("*").alias("n_hits"))
     return (exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
@@ -599,15 +671,57 @@ def q30(spark, sf_dir):
             .orderBy("query_id"))
 
 
-@_q("q31_minhash_near_dup_pairs")  # MinHash-LSH: no SQL twin (rows-only)
+@_q("q31_minhash_near_dup_pairs", """
+WITH pool AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents),
+tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words FROM pool),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(greatest(len(words) - 3, 0) + 1),
+           i -> array_to_string(words[(i + 1):(i + 3)], ' '))) AS shingles
+  FROM tok),
+minhash AS (  -- per (doc, seed): min over shingles of the shared 60-bit md5 hash
+  SELECT doc_id, seed,
+         min(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || sh), 1, 15)
+                  AS BIGINT)) AS mh
+  FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled)
+  CROSS JOIN (SELECT unnest(range(16)) AS seed)
+  GROUP BY doc_id, seed),
+banded AS (  -- 8 bands x 2 rows; band key = md5 of the csv of the band's rows
+  SELECT doc_id, band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
+  FROM (SELECT doc_id, seed, mh, CAST(seed // 2 AS INT) AS band FROM minhash)
+  GROUP BY doc_id, band),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id),
+verified AS (
+  SELECT src, dst,
+         len(list_intersect(sa.shingles, sb.shingles))
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+  FROM cand
+  JOIN shingled sa ON sa.doc_id = src
+  JOIN shingled sb ON sb.doc_id = dst)
+SELECT count(*) AS n_pairs, round(avg(jaccard), 6) AS avg_jaccard
+FROM verified WHERE jaccard >= 0.9
+""")
 def q31(spark, sf_dir):
+    # hash_fn='md5': the shared 60-bit md5-derived hash lets the DuckDB twin
+    # recompute identical signatures/bands (xxhash64 default stays the
+    # production path, pinned by unit tests)
     from amharic_ecommerce_data_extractor_spark.operators.dedup import (
         minhash_duplicate_pairs,
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     u = d.unionByName(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
-    pairs = minhash_duplicate_pairs(u, threshold=0.9)
+    pairs = minhash_duplicate_pairs(u, threshold=0.9, hash_fn="md5")
     return pairs.agg(F.count("*").alias("n_pairs"),
                      F.round(F.avg("jaccard"), 6).alias("avg_jaccard"))
 
@@ -624,7 +738,20 @@ def _synth(spark, n=2000):
     return generate_messages(spark, n_rows=n, n_vendors=20)
 
 
-@_q("q32_kg_triples_profile")
+# The KG flagship queries run over the seed-pinned synthetic corpus, not the
+# driver's parquet tables, so their oracles are pinned fixtures computed by
+# the INDEPENDENT pandas oracle (kernels/pandas_oracle.py — reference
+# notebook-03 semantics reimplemented eagerly; hashlib MinHash + union-find
+# for linking) and materialized to parquet by scripts/make_oracle_fixtures.py.
+# tests/test_kg_fixture_oracle.py keeps them current (regeneration equality).
+_FIXTURES = "/root/repo/tests/fixtures/oracle"
+
+
+@_q("q32_kg_triples_profile", f"""
+SELECT pred, n_triples, n_subjects, n_objects
+FROM read_parquet('{_FIXTURES}/q32_kg_triples_profile.parquet')
+ORDER BY pred
+""")
 def q32(spark, sf_dir):
     from amharic_ecommerce_data_extractor_spark.operators.extract import extract_entities
     from amharic_ecommerce_data_extractor_spark.operators.triples import emit_triples
@@ -636,7 +763,11 @@ def q32(spark, sf_dir):
             .orderBy("pred"))
 
 
-@_q("q33_kg_vendor_scorecard")
+@_q("q33_kg_vendor_scorecard", f"""
+SELECT vendor, total_posts, avg_views_per_post, posts_per_week,
+       lending_score_0_100
+FROM read_parquet('{_FIXTURES}/q33_kg_vendor_scorecard.parquet')
+""")
 def q33(spark, sf_dir):
     from amharic_ecommerce_data_extractor_spark.operators.extract import extract_entities
     from amharic_ecommerce_data_extractor_spark.operators.scorecard import vendor_scorecard
@@ -648,20 +779,43 @@ def q33(spark, sf_dir):
                      F.round("lending_score_0_100", 6).alias("lending_score_0_100"))
 
 
-@_q("q34_kg_entity_linking")
+@_q("q34_kg_entity_linking", f"""
+SELECT type, n_surfaces, n_canonical
+FROM read_parquet('{_FIXTURES}/q34_kg_entity_linking.parquet')
+ORDER BY type
+""")
 def q34(spark, sf_dir):
+    # hash_fn='md5' so the independent hashlib/union-find pandas twin
+    # (kernels.pandas_oracle.canonicalize_counts) computes identical
+    # signatures; the xxhash64 default stays the production path
     from amharic_ecommerce_data_extractor_spark.operators.extract import extract_entities
     from amharic_ecommerce_data_extractor_spark.operators.linking import canonicalize_surfaces
     from amharic_ecommerce_data_extractor_spark.plans.pipeline import entity_surfaces
 
-    canon = canonicalize_surfaces(entity_surfaces(extract_entities(_synth(spark))))
+    canon = canonicalize_surfaces(entity_surfaces(extract_entities(_synth(spark))),
+                                  hash_fn="md5")
     return (canon.groupBy("type")
             .agg(F.count("*").alias("n_surfaces"),
                  F.countDistinct("canonical_id").alias("n_canonical"))
             .orderBy("type"))
 
 
-@_q("q35_multimodal_features")  # binary decode plumbing: no SQL twin (rows-only)
+@_q("q35_multimodal_features", """
+-- twin of the deterministic stub codec (operators/multimodal.py
+-- _decode_image_stub): payload = utf-8 bytes of text, h = sha256(payload),
+-- width = 64 + h[0] % 192, height = 64 + h[1] % 192. DuckDB's sha256()
+-- hashes the VARCHAR's utf-8 bytes — identical to hashlib on the payload.
+WITH hashed AS (
+  SELECT sha256(text) AS sha,
+         CAST('0x' || substr(sha256(text), 1, 2) AS UBIGINT) AS b0,
+         CAST('0x' || substr(sha256(text), 3, 2) AS UBIGINT) AS b1
+  FROM documents)
+SELECT count(*) AS n_images,
+       round(avg(64 + b0 % 192), 6) AS avg_width,
+       round(avg(64 + b1 % 192), 6) AS avg_height,
+       count(DISTINCT sha) AS n_distinct_payloads
+FROM hashed
+""")
 def q35(spark, sf_dir):
     from amharic_ecommerce_data_extractor_spark.operators.multimodal import (
         extract_image_features,
@@ -731,10 +885,90 @@ def q36(spark, sf_dir):
                                  F.sum("n_tokens").alias("total_tokens")))
 
 
-@_q("q37_curation_audit")  # near-dup CC inside: rows-only
+@_q("q37_curation_audit", """
+-- full independent twin of curate(): exact dedup → md5-MinHash-LSH near-dup
+-- pairs (threshold 0.8) → connected components (recursive-CTE transitive
+-- closure; tractable because the near-dup graph is sparse) → quality/length
+-- filters → per-source cap, reporting per-stage surviving rows.
+WITH RECURSIVE
+exact_kept AS (
+  SELECT * FROM (
+    SELECT doc_id, text, source,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1),
+tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words
+        FROM exact_kept),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(greatest(len(words) - 3, 0) + 1),
+           i -> array_to_string(words[(i + 1):(i + 3)], ' '))) AS shingles
+  FROM tok),
+minhash AS (
+  SELECT doc_id, seed,
+         min(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || sh), 1, 15)
+                  AS BIGINT)) AS mh
+  FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled)
+  CROSS JOIN (SELECT unnest(range(16)) AS seed)
+  GROUP BY doc_id, seed),
+banded AS (
+  SELECT doc_id, band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
+  FROM (SELECT doc_id, seed, mh, CAST(seed // 2 AS INT) AS band FROM minhash)
+  GROUP BY doc_id, band),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id),
+verified AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           len(list_intersect(sa.shingles, sb.shingles))
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+    FROM cand JOIN shingled sa ON sa.doc_id = src
+              JOIN shingled sb ON sb.doc_id = dst)
+  WHERE jaccard >= 0.8),
+sym AS (SELECT src, dst FROM verified
+        UNION SELECT dst, src FROM verified),
+reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+  WHERE r.src <> e.dst),
+reach_min AS (SELECT src AS node, min(dst) AS mn FROM reach GROUP BY src),
+dedup_kept AS (
+  SELECT k.doc_id, k.text, k.source FROM exact_kept k
+  LEFT JOIN reach_min r ON k.doc_id = r.node
+  WHERE r.mn IS NULL OR r.mn > k.doc_id),
+scored AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         0.3 * (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END)
+       + 0.3 * (len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+                / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1))
+       + 0.3 * least((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                      / greatest(length(text), 1)) * 1.25, 1.0)
+       + 0.1 * (1.0 - least((length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                             / greatest(length(text), 1)) * 4, 1.0)) AS q
+  FROM dedup_kept),
+filtered AS (
+  SELECT * FROM scored WHERE q >= 0.3 AND n_tokens BETWEEN 5 AND 100000),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY q DESC, doc_id ASC) AS src_rn
+    FROM filtered) WHERE src_rn <= 100)
+SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
+       (SELECT count(*) FROM documents) AS rows_surviving
+UNION ALL SELECT 1, 'dedup', (SELECT count(*) FROM dedup_kept)
+UNION ALL SELECT 2, 'quality_and_length', (SELECT count(*) FROM filtered)
+UNION ALL SELECT 3, 'per_source_cap', (SELECT count(*) FROM capped)
+""")
 def q37(spark, sf_dir):
     from amharic_ecommerce_data_extractor_spark.operators.curation import curate
 
     docs = _t(spark, sf_dir, "documents")
-    _, audit = curate(docs, min_quality=0.3, min_tokens=5, per_source_cap=100)
+    _, audit = curate(docs, min_quality=0.3, min_tokens=5, per_source_cap=100,
+                      hash_fn="md5")
     return audit

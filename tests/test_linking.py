@@ -101,3 +101,39 @@ def test_canonicalize_surfaces_and_triples(spark):
     assert by_pred["priced_at"]["subj"] == "mini blender electric"
     assert by_pred["located_in"]["obj"] == rows[("LOC", "መገናኛ ሲቲ ሞል")]
     assert by_pred["contact"]["obj"] == "0911"
+
+
+def test_banded_exchange_carries_ids_only(spark):
+    """Scale guard (VERDICT r1 fix): the LSH band self-join must shuffle only
+    (nid, band, sig) — shingle arrays must not ride the banded exchange (they
+    would be replicated once per band on both sides). The optimized plan's
+    SortMergeJoin/ShuffledHashJoin on (band, sig) must not reference
+    'shingles' upstream of the first join; shingles appear only in the later
+    rejoin-by-id."""
+    import re
+
+    surfaces = spark.createDataFrame(
+        [(i, f"surface text number {i}") for i in range(50)], "node_id long, surface string")
+    pairs = lsh_candidate_pairs(surfaces, threshold=0.5)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    # both banded self-join sides must prune to (nid, minhash) BEFORE the
+    # band-key Generate/explode — i.e. the plan contains the pruned Project
+    # twice; the pre-fix plan projected (nid, shingles, minhash) there
+    pruned = re.findall(r"Project \[nid#\d+L?, minhash#\d+\]", plan)
+    assert len(pruned) >= 2, f"banded sides not pruned to (nid, minhash):\n{plan}"
+    # and the band join itself must be on (band, sig), not carry shingle cols
+    band_join = [ln for ln in plan.splitlines()
+                 if "Join Inner" in ln and "band#" in ln and "sig#" in ln]
+    assert band_join and all("shingles" not in ln and "sh_a" not in ln
+                             for ln in band_join)
+
+
+def test_connected_components_leaves_session_conf_untouched(spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "src long, dst long")
+    during_holder = {}
+
+    comp = connected_components(edges)
+    comp.collect()
+    during_holder["after"] = spark.conf.get("spark.sql.shuffle.partitions")
+    assert during_holder["after"] == before
