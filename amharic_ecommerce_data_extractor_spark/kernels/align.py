@@ -10,8 +10,18 @@ is shifted, so multi-token alignment is systematically wrong. Reproducing a
 misindexing bug would poison triple quality, so this implementation uses the
 same greedy sequential-find map but indexes it correctly (map is a dict of
 absolute char position → token index). B-/I- assignment: first aligned token
-of a span gets B-, the rest I-; earlier predictions win overlaps (the
-reference's "only assign if O" rule).
+of a span gets B-, the rest I-.
+
+Overlap policy — DELIBERATE divergence from the reference: earlier
+predictions always win here (a token already labeled is never overwritten).
+The reference's overlap handling is itself inconsistent across branches
+(``model_evaluator.py:176-197``): one branch only assigns if the token is
+'O', while its else-branch overwrites a DIFFERENT-typed label with the newer
+prediction. Reproducing that would make output depend on span iteration
+order for conflicting model spans; first-wins is order-stable and matches
+the reference's dominant branch. Aggregated HF spans ('simple' strategy)
+are non-overlapping anyway, so the policies only differ on raw overlapping
+span lists.
 """
 
 from __future__ import annotations

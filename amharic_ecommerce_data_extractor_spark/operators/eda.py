@@ -84,3 +84,15 @@ def empty_output_counts(df: DataFrame, text_col: str, by: str) -> DataFrame:
     return df.groupBy(by).agg(
         F.sum(F.when(F.length(F.trim(F.col(text_col))) == 0, 1).otherwise(0)).alias("n_empty"),
         F.count("*").alias("n"))
+
+
+def with_has_media(df: DataFrame, media_path_col: str = "media_path",
+                   media_type_col: str = "media_type") -> DataFrame:
+    """P7 — has_media flag (reference notebook 01 cell 33:
+    ``media_path.notna()``). The reference scraper always writes
+    ``media_path=''`` (downloads skipped, telegram_scraper.py:84-99), under
+    which notna() is vacuously true — so the practical derivation treats ''
+    as no-media and OR-s in the media_type marker the scraper DOES record."""
+    has = ((F.col(media_path_col).isNotNull() & (F.length(media_path_col) > 0))
+           | (F.coalesce(F.col(media_type_col), F.lit("")) != ""))
+    return df.withColumn("has_media", has)

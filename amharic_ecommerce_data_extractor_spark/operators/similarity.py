@@ -159,10 +159,15 @@ def ivf_train_centroids(corpus: DataFrame, n_cells: int = 16, dim: int = 64,
                         vec_col: str = "embedding", seed: int = 42):
     """Lloyd's k-means on a driver-side sample (numpy); returns
     list[list[float]] centroids. The sample is tiny and the centroids are
-    broadcast as literals — training cost is independent of corpus size."""
+    broadcast as literals — training cost is independent of corpus size.
+
+    Sampling is reservoir-style (takeSample) — UNBIASED across partitions.
+    limit()-sampling would take the first partitions only, mis-centering the
+    quantizer whenever the corpus is clustered in storage order (typical:
+    ingest order correlates with content)."""
     import numpy as np
 
-    rows = (corpus.select(vec_col).limit(sample_size).collect())
+    rows = corpus.select(vec_col).rdd.takeSample(False, sample_size, seed)
     x = np.array([list(r[0]) for r in rows], dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)

@@ -57,11 +57,24 @@ def salted_collect_set(df: DataFrame, key: str, value: str,
                  .alias(f"{value}_set")))
 
 
+_SALTED_JOIN_HOWS = {"inner", "left", "leftouter", "left_outer",
+                     "left_semi", "leftsemi", "left_anti", "leftanti"}
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str,
                 n_salts: int = 8, how: str = "inner") -> DataFrame:
     """Equi join with the big side's hot keys spread over n_salts buckets and
     the small side replicated into every bucket. Result identical to
-    big.join(small, key, how)."""
+    big.join(small, key, how) for the supported join types.
+
+    Only big-side-preserving joins are supported: replicating the small side
+    into every salt bucket would emit each UNMATCHED small-side row n_salts
+    times under right/full outer semantics."""
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALTED_JOIN_HOWS}:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALTED_JOIN_HOWS)} joins, not "
+            f"{how!r}: the replicated small side would duplicate unmatched "
+            f"rows under right/full outer semantics")
     big_s = big.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
                                            F.lit(n_salts)))
     small_s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))

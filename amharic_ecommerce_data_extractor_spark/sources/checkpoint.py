@@ -52,16 +52,23 @@ def lineage_frame(df: DataFrame) -> DataFrame:
 
 
 def write_stage(df: DataFrame, stage_dir: str, stage: str,
-                partition_by: list[str] | None = None) -> None:
+                partition_by: list[str] | None = None,
+                fmt: str = "parquet") -> None:
+    """Checkpoint one stage. fmt dispatches the sink format: 'parquet'
+    (sandbox default) or any registered table format — the north rule names
+    Iceberg, so production runs pass fmt='iceberg' and the partition spec
+    flows through partition_by unchanged (Iceberg's committer replaces the
+    _STAGE_DONE marker's atomicity role, but the marker stays as the
+    resume signal either way)."""
     t0 = time.perf_counter()
     data_path = os.path.join(stage_dir, "data")
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(data_path)
+    w.format(fmt).save(data_path)
 
     spark = df.sparkSession
-    out = spark.read.parquet(data_path)
+    out = spark.read.format(fmt).load(data_path)
     lin = lineage_frame(out)
     lin.write.mode("overwrite").parquet(os.path.join(stage_dir, "_lineage"))
     n_rows = int(spark.read.parquet(os.path.join(stage_dir, "_lineage"))
@@ -94,9 +101,26 @@ def chunked_stage(
     """Stage with intra-stage resume: the input is hash-split on key_col into
     n_chunks; each chunk is transformed and committed independently (its own
     data dir + marker). A restart skips finished chunks — finished partitions
-    are never recomputed. Output is the multi-chunk parquet scan."""
+    are never recomputed. Output is the multi-chunk parquet scan.
+
+    A stage-level manifest (chunking params) is committed BEFORE the first
+    chunk: resuming with a different n_chunks/key_col would silently change
+    the pmod memberships (duplicated + missing rows), so it hard-fails."""
     stage_dir = os.path.join(workdir, stage)
     os.makedirs(stage_dir, exist_ok=True)
+    manifest_path = os.path.join(stage_dir, "_CHUNK_MANIFEST")
+    manifest = {"key_col": key_col, "n_chunks": n_chunks}
+    if os.path.exists(manifest_path):
+        with open(manifest_path, encoding="utf-8") as f:
+            committed = json.load(f)
+        if committed != manifest:
+            raise ValueError(
+                f"chunked_stage resume mismatch at {stage_dir}: committed "
+                f"{committed} vs requested {manifest}; restart the stage "
+                f"(delete the dir) or resume with the committed parameters")
+    else:
+        with open(manifest_path, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
     chunk_key = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_chunks))
     for chunk in range(n_chunks):
         cdir = os.path.join(stage_dir, f"chunk={chunk}")

@@ -1,21 +1,38 @@
 """Distributed CoNLL corpus reader/writer.
 
 Reference semantics (``src/utils/conll_parser.py:5-53``): token/label pairs
-split on any whitespace run, blank line closes a sentence, trailing
-non-terminated sentence still emitted, malformed lines (≠2 fields) raise
-ValueError. The reference builds nested Python lists in driver memory; here
-the file becomes a DataFrame and sentence boundaries are reconstructed
-distributively:
+split on any whitespace run (``re.split(r'\\s+')`` at ``:40``), blank line
+closes a sentence, trailing non-terminated sentence still emitted, malformed
+lines (≠2 fields) raise ValueError. The labeling-side variant
+(``src/data_labeling/conll_parser.py:38``) splits on TAB only — exposed here
+as ``sep='tab'``. Lines are stripped of ALL whitespace first (the reference's
+``line.strip()``), so a tab-only line is a sentence boundary, not a phantom
+token.
 
-  spark.read.text (one row per line, with a stable line index)
-  → sentence_id = running count of blank lines BEFORE each line
-    (a window running-sum over the line index)
-  → drop blanks, split, validate, group to
-    (sentence_id, tokens array, labels array)
+The reference builds nested Python lists in driver memory; here sentence
+boundaries are reconstructed distributively WITHOUT any per-line global
+window (which would serialize the whole corpus through one task):
 
-The single global window is ordered by line index; for the file sizes CoNLL
-corpora reach (the reference's is 186k lines) this is fine; beyond that,
-files are read per-partition with ``input_file_name`` in the partition key.
+  pass 1 (stats)  per (file, scan-partition): line count + blank-line count —
+                  a tiny aggregate collected to the driver and turned into
+                  per-split line/sentence base offsets (cumulative sums in
+                  split order).
+  pass 2 (build)  per partition: local line number + local blanks-before via
+                  a window PARTITIONED by (file, pid) — parallel — then
+                  global line = line_base + local, sentence key =
+                  sent_base + local blanks-before. Sentences spanning a split
+                  boundary share a key, so the groupBy merges them.
+
+Split-order invariant this relies on: within one file, ascending
+(spark_partition_id, monotonically_increasing_id) is ascending byte offset —
+Spark's file source enumerates a file's splits in offset order (stable
+length-sort + sequential packing). Pinned by a test that forces a multi-split
+read and compares against the single-partition parse.
+
+The only remaining ordered step is the final dense sentence renumbering —
+one window row per SENTENCE (not per line), ordered by (file, sentence key).
+At petabyte scale pass dense_ids=False to keep (file, sentence_key) as the
+identity and skip that step entirely.
 """
 
 from __future__ import annotations
@@ -25,26 +42,65 @@ from pyspark.sql.window import Window
 
 CONLL_COLUMNS = ["sentence_id", "tokens", "labels"]
 
+_STRIP = r"^[\s ]+|[\s ]+$"
 
-def read_conll(spark: SparkSession, path: str, strict: bool = True) -> DataFrame:
-    """path → (sentence_id long, tokens array<string>, labels array<string>).
+
+def read_conll(spark: SparkSession, path: str, strict: bool = True,
+               sep: str = "whitespace", dense_ids: bool = True) -> DataFrame:
+    """path (file, dir or glob) → (sentence_id long, tokens array<string>,
+    labels array<string>).
 
     strict=True reproduces the reference's ValueError on malformed lines
     (raised at action time from the executor, surfaced as a SparkException
-    whose message carries the offending line)."""
-    lines = (
-        spark.read.text(path)
-        .select(F.monotonically_increasing_id().alias("line_id"), F.col("value"))
-        .withColumn("value", F.trim(F.regexp_replace("value", "[\\r\\n]+", "")))
-    )
-    w = Window.orderBy("line_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sent = lines.withColumn(
-        "sentence_id",
-        F.sum(F.when(F.col("value") == "", 1).otherwise(0)).over(w)
-        - F.when(F.col("value") == "", 1).otherwise(0),
-    ).where(F.col("value") != "")
+    whose message carries the offending line).
+    sep: 'whitespace' (utils parser, ``re.split(r'\\s+')``) or 'tab' (the
+    labeling-side parser's ``split('\\t')``).
+    """
+    if sep not in ("whitespace", "tab"):
+        raise ValueError(f"sep must be 'whitespace' or 'tab', got {sep!r}")
+    split_re = r"\s+" if sep == "whitespace" else r"\t"
 
-    parts = sent.withColumn("parts", F.split("value", r"\s+"))
+    blank = F.when(F.col("value") == "", 1).otherwise(0)
+    raw = spark.read.text(path).select(
+        F.input_file_name().alias("file"),
+        F.spark_partition_id().alias("pid"),
+        F.monotonically_increasing_id().alias("mid"),
+        F.regexp_replace("value", _STRIP, "").alias("value"),
+    )
+
+    # pass 1: per-(file, split) stats → base offsets, in split order per file
+    stats = (raw.groupBy("file", "pid")
+             .agg(F.count("*").alias("n_lines"), F.sum(blank).alias("n_blanks"))
+             .collect())
+    offsets, line_base, sent_base = [], {}, {}
+    for r in sorted(stats, key=lambda r: (r["file"], r["pid"])):
+        lb = line_base.get(r["file"], 0)
+        sb = sent_base.get(r["file"], 0)
+        offsets.append((r["file"], r["pid"], lb, sb))
+        line_base[r["file"]] = lb + r["n_lines"]
+        sent_base[r["file"]] = sb + r["n_blanks"]
+    off_df = spark.createDataFrame(
+        offsets, "file string, pid int, line_base long, sent_base long")
+
+    # pass 2: per-partition local positions (window partitioned by split —
+    # parallel), then global positions via the broadcast offsets
+    wloc = Window.partitionBy("file", "pid").orderBy("mid")
+    loc = raw.select(
+        "file", "pid", "value",
+        (F.row_number().over(wloc) - 1).alias("local_line"),
+        (F.sum(blank).over(wloc) - blank).alias("blanks_before"),
+    )
+    lines = (
+        loc.join(F.broadcast(off_df), ["file", "pid"])
+        .select(
+            "file", "value",
+            (F.col("line_base") + F.col("local_line")).alias("line_no"),
+            (F.col("sent_base") + F.col("blanks_before")).alias("sent_key"),
+        )
+        .where(F.col("value") != "")
+    )
+
+    parts = lines.withColumn("parts", F.split("value", split_re))
     if strict:
         # the error expression lives INSIDE the label projection so column
         # pruning cannot eliminate the validation (an unused assert column
@@ -57,19 +113,24 @@ def read_conll(spark: SparkSession, path: str, strict: bool = True) -> DataFrame
         label = F.col("parts")[1]
 
     grouped = (
-        parts.select("sentence_id", "line_id",
+        parts.select("file", "sent_key", "line_no",
                      F.col("parts")[0].alias("token"), label.alias("label"))
-        .groupBy("sentence_id")
-        .agg(F.sort_array(F.collect_list(F.struct("line_id", "token", "label"))).alias("tl"))
+        .groupBy("file", "sent_key")
+        .agg(F.sort_array(F.collect_list(F.struct("line_no", "token", "label"))).alias("tl"))
         .select(
-            "sentence_id",
+            "file", "sent_key",
             F.col("tl.token").alias("tokens"),
             F.col("tl.label").alias("labels"),
         )
     )
-    # re-number sentences densely in file order (blank-run gaps removed)
-    w2 = Window.orderBy("sentence_id")
-    return grouped.withColumn("sentence_id", F.row_number().over(w2) - 1)
+    if not dense_ids:
+        return grouped.select(
+            F.xxhash64("file", "sent_key").alias("sentence_id"), "tokens", "labels")
+    # dense renumber in (file, line) order: ONE window row per sentence
+    w2 = Window.orderBy("file", "sent_key")
+    return grouped.select(
+        (F.row_number().over(w2) - 1).cast("long").alias("sentence_id"),
+        "tokens", "labels")
 
 
 def conll_token_rows(conll: DataFrame) -> DataFrame:
@@ -96,6 +157,20 @@ def write_conll(conll: DataFrame, path: str) -> None:
         ).alias("value"),
     ).orderBy("sentence_id").select("value")
     body.write.mode("overwrite").text(path)
+
+
+def conll_to_csv(conll: DataFrame, path: str | None = None) -> DataFrame:
+    """CoNLL frame → (message_text, labels_sequence) — space-joined tokens
+    and labels per sentence (reference
+    ``src/data_labeling/conll_to_csv_converter.py:13-52``). Returns the
+    DataFrame; writes a headered CSV when path is given."""
+    out = conll.select(
+        F.array_join("tokens", " ").alias("message_text"),
+        F.array_join("labels", " ").alias("labels_sequence"),
+    )
+    if path is not None:
+        out.write.mode("overwrite").option("header", True).csv(path)
+    return out
 
 
 def label_vocabulary(conll: DataFrame) -> list[str]:

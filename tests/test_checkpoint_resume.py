@@ -79,3 +79,28 @@ def test_full_pipeline_and_resume(spark, tmp_path):
 
     marker = json.load(open(f"{wd}/scorecard/{ckpt.MARKER}"))
     assert marker["rows"] == s1["vendors"]
+
+
+def test_write_stage_format_dispatch(spark, tmp_path):
+    """fmt parameter flows through to the sink (Iceberg in production —
+    parquet is the only format in this sandbox, so the dispatch itself is
+    what's under test)."""
+    from amharic_ecommerce_data_extractor_spark.sources.checkpoint import write_stage
+
+    df = spark.range(10).withColumnRenamed("id", "message_id")
+    d = str(tmp_path / "fmt_stage")
+    write_stage(df, d, "s", fmt="parquet")
+    assert spark.read.parquet(d + "/data").count() == 10
+
+
+def test_chunked_stage_nchunks_mismatch_raises(spark, tmp_path):
+    from amharic_ecommerce_data_extractor_spark.sources.checkpoint import chunked_stage
+
+    src = spark.range(100).withColumnRenamed("id", "message_id")
+    wd = str(tmp_path / "wd")
+    chunked_stage(spark, wd, "st", src, lambda d: d, n_chunks=4)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        chunked_stage(spark, wd, "st", src, lambda d: d, n_chunks=8)
+    # resuming with the committed parameters still works
+    out = chunked_stage(spark, wd, "st", src, lambda d: d, n_chunks=4)
+    assert out.count() == 100

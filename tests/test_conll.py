@@ -90,3 +90,103 @@ def test_token_rows(spark, sample_path):
     assert len(rows) == 8
     first = [r for r in rows if r["sentence_id"] == 0 and r["pos"] == 0][0]
     assert (first["token"], first["label"]) == ("Dell", "B-PRODUCT")
+
+
+def test_tab_only_line_is_sentence_boundary(spark, tmp_path):
+    # reference line.strip() strips ALL whitespace: a tab-only line is a
+    # blank (sentence boundary), never a phantom ('','') token or a
+    # malformed-line error (ADVICE r1)
+    p = tmp_path / "tabs.conll"
+    p.write_text("a\tO\n\t\nb\tO\n", encoding="utf-8")
+    got = {r["sentence_id"]: r["tokens"] for r in read_conll(spark, str(p)).collect()}
+    assert got == {0: ["a"], 1: ["b"]}
+
+
+def test_tab_strict_variant(spark, tmp_path):
+    # labeling-side parser splits on TAB only: 'New York\tB-LOC' is ONE
+    # token with an internal space under sep='tab', two fields total
+    p = tmp_path / "tabsep.conll"
+    p.write_text("New York\tB-LOC\n\nx y z\tO\n", encoding="utf-8")
+    got = [tuple(r) for r in read_conll(spark, str(p), sep="tab")
+           .orderBy("sentence_id").collect()]
+    assert got == [(0, ["New York"], ["B-LOC"]), (1, ["x y z"], ["O"])]
+    # whereas the whitespace variant rejects those 3-field lines
+    with pytest.raises(Exception, match="Malformed CoNLL line"):
+        read_conll(spark, str(p), sep="whitespace").collect()
+
+
+def test_multifile_glob(spark, tmp_path):
+    (tmp_path / "a.conll").write_text("a1\tO\n\na2\tB-LOC\n", encoding="utf-8")
+    (tmp_path / "b.conll").write_text("b1\tO\n", encoding="utf-8")
+    df = read_conll(spark, str(tmp_path / "*.conll"))
+    got = [tuple(r["tokens"]) for r in df.orderBy("sentence_id").collect()]
+    assert sorted(map(list, got)) == [["a1"], ["a2"], ["b1"]]
+    assert [r["sentence_id"] for r in df.orderBy("sentence_id").collect()] == [0, 1, 2]
+
+
+def test_multisplit_read_matches_single_partition(spark, tmp_path):
+    """Pins the split-order invariant: a file forced into MANY scan splits
+    parses identically to the whole-file parse (sentences spanning split
+    boundaries merge correctly)."""
+    import random
+
+    rng = random.Random(3)
+    sents = []
+    for s in range(400):
+        n = rng.randint(1, 6)
+        sents.append("\n".join(f"tok{s}_{i}\tB-PRODUCT" for i in range(n)))
+    big = "\n\n".join(sents) + "\n"
+    p = tmp_path / "big.conll"
+    p.write_text(big, encoding="utf-8")
+
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        many = read_conll(spark, str(p))
+        assert many.rdd.getNumPartitions() >= 1
+        got = [(r["tokens"], r["labels"]) for r in many.orderBy("sentence_id").collect()]
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+    spark.conf.set("spark.sql.files.openCostInBytes", "1048576")
+    want = [( [f"tok{s}_{i}" for i in range(len(sent.splitlines()))],
+              ["B-PRODUCT"] * len(sent.splitlines()) )
+            for s, sent in enumerate(sents)]
+    assert got == want
+
+
+def test_dense_ids_false_keeps_stable_hash_ids(spark, sample_path):
+    df = read_conll(spark, sample_path, dense_ids=False)
+    rows = df.collect()
+    assert len(rows) == 2
+    assert len({r["sentence_id"] for r in rows}) == 2  # unique, not dense
+
+
+def test_conll_to_csv(spark, sample_path, tmp_path):
+    from amharic_ecommerce_data_extractor_spark.sources.conll import conll_to_csv
+
+    out = str(tmp_path / "csv_out")
+    df = conll_to_csv(read_conll(spark, sample_path), out)
+    got = {r["message_text"]: r["labels_sequence"] for r in df.collect()}
+    assert got == {
+        "Dell laptop price 1000 ETB": "B-PRODUCT I-PRODUCT O B-PRICE I-PRICE",
+        "New Phone +251911123456": "O B-PRODUCT B-CONTACT_INFO",
+    }
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 2 and set(back.columns) == {"message_text", "labels_sequence"}
+
+
+def test_write_labeling_file(spark, tmp_path):
+    from amharic_ecommerce_data_extractor_spark.sources.conll import write_labeling_file
+
+    msgs = spark.createDataFrame(
+        [(1, "ሰላም ዋጋ 500 ብር"), (2, "blender 750"), (3, "skip me")],
+        "message_id long, content string")
+    out = str(tmp_path / "labeling")
+    write_labeling_file(msgs, out, n_messages=2)
+    text = spark.read.text(out).collect()
+    lines = [r["value"] for r in text]
+    # token-per-line with blank separators, first N messages only
+    assert "ሰላም" in lines and "500" in lines and "blender" in lines
+    assert all("skip" not in ln for ln in lines)
+    assert "" in lines  # blank separator rows survive

@@ -78,3 +78,13 @@ def test_stopword_ratio(spark):
     df = spark.createDataFrame([(1, "the cat and the dog")], "id long, t string")
     r = df.select(ts.stopword_ratio(F.col("t"), ["the", "and"]).alias("r")).collect()[0]["r"]
     assert abs(r - 3 / 5) < 1e-9
+
+
+def test_with_has_media(spark):
+    from amharic_ecommerce_data_extractor_spark.operators.eda import with_has_media
+
+    df = spark.createDataFrame(
+        [("", ""), ("", "photo_skipped_download"), ("x.jpg", ""), (None, None)],
+        "media_path string, media_type string")
+    got = [r["has_media"] for r in with_has_media(df).collect()]
+    assert got == [False, True, True, False]

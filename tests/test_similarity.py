@@ -50,3 +50,29 @@ def test_lsh_recall(spark, emb):
     exact = knn_bruteforce(queries, emb, k=5)
     approx = knn_lsh(queries, emb, k=5, n_bands=24, bits_per_band=4)
     assert _recall(approx, exact) >= 0.55
+
+
+def test_ivf_sampling_unbiased_on_partition_clustered_corpus(spark):
+    """limit()-sampling takes the first partitions only: with cluster A
+    occupying them, the quantizer would never see cluster B. takeSample is
+    reservoir-style across partitions, so both true centers get a nearby
+    centroid."""
+    import numpy as np
+
+    from amharic_ecommerce_data_extractor_spark.operators.similarity import (
+        ivf_train_centroids,
+    )
+
+    rng = np.random.RandomState(0)
+    dim = 8
+    a = rng.normal(0, 0.05, (300, dim)) + np.array([1.0] + [0.0] * (dim - 1))
+    b = rng.normal(0, 0.05, (300, dim)) + np.array([0.0] * (dim - 1) + [1.0])
+    rows = [(i, [float(v) for v in x]) for i, x in enumerate(a)] + \
+           [(1000 + i, [float(v) for v in x]) for i, x in enumerate(b)]
+    # cluster A fills the first partitions (range-partitioned input order)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartitionByRange(6, "vec_id")
+
+    cents = np.array(ivf_train_centroids(df, n_cells=2, dim=dim, sample_size=100, seed=1))
+    for center in (a.mean(axis=0), b.mean(axis=0)):
+        c = center / np.linalg.norm(center)
+        assert max(float(c @ cent / np.linalg.norm(cent)) for cent in cents) > 0.95
