@@ -168,12 +168,16 @@ def canonicalize_counts(surfaces: pd.DataFrame, shingle_n: int = 3,
         nid = _md5_60bit(f"{t}\x1f{s}")
         nodes.append((nid, t, _char_shingles(s, shingle_n)))
 
+    from ..operators.linking import MINHASH_P, minhash_seed_constants
+
     num_hashes = bands * rows
+    ab = minhash_seed_constants(num_hashes)
     buckets: dict[tuple[int, str], list[int]] = defaultdict(list)
     shingles_of: dict[int, frozenset] = {}
     for nid, _t, sh in nodes:
         shingles_of[nid] = sh
-        sig = [min(_md5_60bit(f"{i}:{g}") for g in sh) for i in range(num_hashes)]
+        h0s = [_md5_60bit(g) % MINHASH_P for g in sh]
+        sig = [min((a * h + b) % MINHASH_P for h in h0s) for a, b in ab]
         for b in range(bands):
             key = ",".join(str(v) for v in sig[b * rows:(b + 1) * rows])
             bsig = hashlib.md5(key.encode()).hexdigest()

@@ -80,11 +80,15 @@ def minhash_duplicate_pairs(
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 2, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        hash_fn: str = "xxhash64") -> DataFrame:
-    """Exact n-gram Jaccard over LSH candidates (high-recall banding, exact
-    verify at the requested n)."""
+                        hash_fn: str = "xxhash64", bands: int = 8,
+                        rows: int = 2) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidates. 8×2 banding by default:
+    16×1 banding admits a candidate whenever ONE minhash matches (collision
+    prob = j per band), which floods the verify join on corpora with shared
+    template vocabulary — r=2 squares the per-band collision prob and keeps
+    ~0.9 recall at j=0.5."""
     return minhash_duplicate_pairs(df, id_col=id_col, text_col=text_col,
-                                   shingle_words=n, bands=16, rows=1,
+                                   shingle_words=n, bands=bands, rows=rows,
                                    threshold=threshold, hash_fn=hash_fn
                                    ).withColumnRenamed("jaccard", "ngram_jaccard")
 

@@ -42,31 +42,61 @@ def char_shingles(col, n: int = 3):
     return F.array_distinct(grams)
 
 
+# universal-hash family for the cross-engine MinHash variant:
+# h_i(x) = (a_i * h0(x) + b_i) mod P, h0 = 60-bit md5 prefix mod P.
+# P < 2^30 keeps a_i * h0 < 2^60 — overflow-free in int64 in EVERY engine.
+MINHASH_P = 1_073_741_789  # largest prime < 2^30
+
+
+def minhash_seed_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) per seed, derived from md5 so any engine (or
+    a reader of the oracle SQL) can re-derive them."""
+    import hashlib
+
+    def hx(s: str, n: int) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:n], 16)
+
+    return [(hx(f"a{i}", 7) % (MINHASH_P - 1) + 1, hx(f"b{i}", 7) % MINHASH_P)
+            for i in range(num_hashes)]
+
+
 def minhash_signature(shingles_col, num_hashes: int = 16, hash_fn: str = "xxhash64"):
     """array<long>: per seed i, min over shingles of hash_i(shingle).
-    All JVM, and ONE nested-transform expression tree (a per-seed python loop
-    of separate array_min expressions makes Catalyst analysis time explode).
+    All JVM, and ONE expression tree (a per-seed python loop of separate
+    array_min expressions makes Catalyst analysis time explode).
 
     hash_fn:
     * ``xxhash64`` (default) — fastest JVM path, Spark-specific.
-    * ``md5`` — hash_i(s) = first 15 hex chars of md5(i || ':' || s) as a
-      60-bit integer. Slower, but byte-identical to DuckDB
-      (``CAST('0x'||substr(md5(...),1,15) AS BIGINT)``) and Python hashlib —
-      the cross-engine-verifiable variant used by the driver oracles and the
-      pandas parity oracle.
+    * ``md5`` — h_i(s) = (a_i * h0(s) + b_i) mod P with h0 = md5-prefix:
+      byte-identical in DuckDB (``CAST('0x'||substr(md5(s),1,15) AS
+      BIGINT)``) and Python hashlib — the cross-engine-verifiable variant
+      used by the driver oracles and the pandas parity oracle. Single-pass
+      shape: md5 runs ONCE per shingle (bound as the fold collection), the
+      per-seed minima accumulate in a num_hashes-wide vector — not one md5
+      per (shingle, seed).
     """
     if hash_fn == "xxhash64":
-        def h(sh, i):
-            return F.xxhash64(sh, i)
-    elif hash_fn == "md5":
-        def h(sh, i):
-            hx = F.md5(F.concat(i.cast("string"), F.lit(":"), sh))
-            return F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
-    else:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(F.transform(shingles_col, lambda sh: F.xxhash64(sh, i))),
+        )
+    if hash_fn != "md5":
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(shingles_col, lambda sh: h(sh, i))),
+    ab = minhash_seed_constants(num_hashes)
+    ab_lit = F.array(*[
+        F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+        for a, b in ab
+    ])
+    h0s = F.transform(
+        shingles_col,
+        lambda sh: F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("long") % MINHASH_P,
+    )
+    return F.aggregate(
+        h0s,
+        F.array_repeat(F.lit(MINHASH_P).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc, ab_lit,
+            lambda m, s: F.least(m, (s["a"] * h + s["b"]) % MINHASH_P)),
     )
 
 

@@ -684,12 +684,19 @@ shingled AS (
            range(greatest(len(words) - 3, 0) + 1),
            i -> array_to_string(words[(i + 1):(i + 3)], ' '))) AS shingles
   FROM tok),
-minhash AS (  -- per (doc, seed): min over shingles of the shared 60-bit md5 hash
-  SELECT doc_id, seed,
-         min(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || sh), 1, 15)
-                  AS BIGINT)) AS mh
-  FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled)
-  CROSS JOIN (SELECT unnest(range(16)) AS seed)
+seeds AS (  -- universal-hash constants: re-derivable in any engine
+  SELECT seed,
+         CAST('0x' || substr(md5('a' || CAST(seed AS VARCHAR)), 1, 7) AS BIGINT)
+           % 1073741788 + 1 AS a,
+         CAST('0x' || substr(md5('b' || CAST(seed AS VARCHAR)), 1, 7) AS BIGINT)
+           % 1073741789 AS b
+  FROM (SELECT unnest(range(16)) AS seed)),
+minhash AS (  -- h_i(sh) = (a_i*h0 + b_i) mod P, h0 = md5-prefix mod P: md5 ONCE per shingle
+  SELECT doc_id, seed, min((a * h0 + b) % 1073741789) AS mh
+  FROM (SELECT doc_id,
+               CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % 1073741789 AS h0
+        FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled))
+  CROSS JOIN seeds
   GROUP BY doc_id, seed),
 banded AS (  -- 8 bands x 2 rows; band key = md5 of the csv of the band's rows
   SELECT doc_id, band,
@@ -1068,16 +1075,25 @@ shingled AS (
            range(greatest(len(words) - 2, 0) + 1),
            i -> array_to_string(words[(i + 1):(i + 2)], ' '))) AS shingles
   FROM tok),
-minhash AS (
-  SELECT doc_id, seed,
-         min(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || sh), 1, 15)
-                  AS BIGINT)) AS mh
-  FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled)
-  CROSS JOIN (SELECT unnest(range(16)) AS seed)
+seeds AS (  -- universal-hash constants: re-derivable in any engine
+  SELECT seed,
+         CAST('0x' || substr(md5('a' || CAST(seed AS VARCHAR)), 1, 7) AS BIGINT)
+           % 1073741788 + 1 AS a,
+         CAST('0x' || substr(md5('b' || CAST(seed AS VARCHAR)), 1, 7) AS BIGINT)
+           % 1073741789 AS b
+  FROM (SELECT unnest(range(16)) AS seed)),
+minhash AS (  -- h_i(sh) = (a_i*h0 + b_i) mod P, h0 = md5-prefix mod P: md5 ONCE per shingle
+  SELECT doc_id, seed, min((a * h0 + b) % 1073741789) AS mh
+  FROM (SELECT doc_id,
+               CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % 1073741789 AS h0
+        FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled))
+  CROSS JOIN seeds
   GROUP BY doc_id, seed),
-banded AS (  -- 16 bands x 1 row: band key = md5 of the single row value
-  SELECT doc_id, CAST(seed AS INT) AS band, md5(CAST(mh AS VARCHAR)) AS sig
-  FROM minhash),
+banded AS (  -- 8 bands x 2 rows
+  SELECT doc_id, band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
+  FROM (SELECT doc_id, seed, mh, CAST(seed // 2 AS INT) AS band FROM minhash)
+  GROUP BY doc_id, band),
 cand AS (
   SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
   FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
@@ -1236,12 +1252,19 @@ shingled AS (
            range(greatest(len(words) - 3, 0) + 1),
            i -> array_to_string(words[(i + 1):(i + 3)], ' '))) AS shingles
   FROM tok),
-minhash AS (
-  SELECT doc_id, seed,
-         min(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || sh), 1, 15)
-                  AS BIGINT)) AS mh
-  FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled)
-  CROSS JOIN (SELECT unnest(range(16)) AS seed)
+seeds AS (  -- universal-hash constants: re-derivable in any engine
+  SELECT seed,
+         CAST('0x' || substr(md5('a' || CAST(seed AS VARCHAR)), 1, 7) AS BIGINT)
+           % 1073741788 + 1 AS a,
+         CAST('0x' || substr(md5('b' || CAST(seed AS VARCHAR)), 1, 7) AS BIGINT)
+           % 1073741789 AS b
+  FROM (SELECT unnest(range(16)) AS seed)),
+minhash AS (  -- h_i(sh) = (a_i*h0 + b_i) mod P, h0 = md5-prefix mod P: md5 ONCE per shingle
+  SELECT doc_id, seed, min((a * h0 + b) % 1073741789) AS mh
+  FROM (SELECT doc_id,
+               CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % 1073741789 AS h0
+        FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled))
+  CROSS JOIN seeds
   GROUP BY doc_id, seed),
 banded AS (
   SELECT doc_id, band,
