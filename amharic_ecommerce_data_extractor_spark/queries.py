@@ -929,11 +929,12 @@ def q38(spark, sf_dir):
 
 _IVF_CENT_SQL = """
 cent AS (  -- deterministic coarse quantizer: unit-normalized embeddings of
-           -- every 37th vector, cell = rank by vec_id (matches the Spark side)
+           -- the first 16 vectors, cell = rank by vec_id (matches the Spark
+           -- side; fixed cell count at every scale factor)
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
          list_transform(embedding,
                         x -> x / sqrt(list_dot_product(embedding, embedding))) AS cv
-  FROM embeddings WHERE vec_id % 37 = 1),
+  FROM embeddings WHERE vec_id < 16),
 assigned AS (  -- nearest cell per corpus vector (ties → larger cell, like
                -- array_max over struct(sim, cell))
   SELECT vec_id, embedding, cell FROM (
@@ -972,7 +973,7 @@ def q39(spark, sf_dir):
     from amharic_ecommerce_data_extractor_spark.operators.similarity import knn_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
-    cent_rows = sorted(emb.where(F.col("vec_id") % 37 == 1).collect(),
+    cent_rows = sorted(emb.where(F.col("vec_id") < 16).collect(),
                        key=lambda r: r["vec_id"])
     # unit-normalize with sequential-sum arithmetic (same order as the
     # DuckDB twin's list_dot_product) so centroid literals are bit-identical
