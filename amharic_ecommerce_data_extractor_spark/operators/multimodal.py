@@ -3,16 +3,27 @@
 The reference skips media downloads entirely (``telegram_scraper.py:84-99``
 records only ``media_type`` strings); a 100TB training pipeline instead
 carries media as opaque ``binary`` columns with typed metadata. This module
-provides the REAL Spark-side machinery — schemas, Arrow-batched UDF
-signatures, partition-aware batch shapes — with the codec step stubbed
-behind a deterministic fake (the decode libraries are not in this container;
-swap ``_decode_image_stub`` for a PIL/libvips call in production, the
-surrounding plumbing is unchanged and tested).
+provides the Spark-side machinery — schemas, Arrow-batched UDF signatures,
+partition-aware batch shapes — plus a REAL pure-stdlib/numpy codec for the
+formats that need no external libraries:
+
+* uncompressed 24-bit BMP (``BM`` magic, BITMAPINFOHEADER) — header parse +
+  pixel rows (bottom-up, 4-byte row padding);
+* binary netpbm PGM (``P5``) / PPM (``P6``) — header parse + raw samples.
+
+Decoded images get real features (4×4 grayscale grid means) and a real
+nearest-neighbor resize. Payloads in any OTHER format fall back to a
+deterministic sha256-derived fake (so the pipeline shape is testable on
+arbitrary bytes and the driver oracle can recompute it); swap the fallback
+for PIL/libvips in production — signatures are unchanged. A ``b'REAL'``
+magic prefix still hard-raises, marking payloads that must never silently
+take the fallback.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -38,14 +49,106 @@ IMAGE_FEATURE_FIELDS = [
 ]
 
 
+def _parse_bmp(payload: bytes):
+    """(width, height, HxWx3 uint8 ndarray) for uncompressed 24-bit BMP, or
+    None if the payload is not one."""
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_offset, = struct.unpack_from("<I", payload, 10)
+    dib_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    if dib_size < 40 or not (0 < width <= 16384) or not (0 < abs(height) <= 16384):
+        return None
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression, = struct.unpack_from("<I", payload, 30)
+    if planes != 1 or bpp != 24 or compression != 0:
+        return None
+    h = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    if data_offset + row_bytes * h > len(payload):
+        return None
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=row_bytes * h, offset=data_offset)
+    rows = rows.reshape(h, row_bytes)[:, :width * 3].reshape(h, width, 3)
+    if height > 0:  # bottom-up storage
+        rows = rows[::-1]
+    return width, h, rows[:, :, ::-1]  # BGR → RGB
+
+
+def _parse_netpbm(payload: bytes):
+    """(width, height, HxWx3 uint8) for binary PGM (P5) / PPM (P6), else
+    None. Tolerates whitespace runs and '#' comments in the header."""
+    import numpy as np
+
+    if payload[:2] not in (b"P5", b"P6"):
+        return None
+    channels = 3 if payload[:2] == b"P6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(payload):
+        c = payload[pos:pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(payload) and payload[pos:pos + 1].isdigit():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        else:
+            return None
+    if len(fields) < 3 or not payload[pos:pos + 1].isspace():
+        return None
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if not (0 < width <= 16384 and 0 < height <= 16384 and 0 < maxval < 256):
+        return None
+    n = width * height * channels
+    if pos + n > len(payload):
+        return None
+    px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    px = px.reshape(height, width, channels)
+    if channels == 1:
+        px = np.repeat(px, 3, axis=2)
+    return width, height, px
+
+
+def _decode_pixels(payload: bytes):
+    """Real decode for the stdlib-decodable formats; None otherwise."""
+    return _parse_bmp(payload) or _parse_netpbm(payload)
+
+
+def _grid_features(px, grid: int = 4) -> list[float]:
+    """Real image feature: grid×grid cell means of normalized grayscale."""
+    import numpy as np
+
+    gray = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]) / 255.0
+    h, w = gray.shape
+    ys = np.linspace(0, h, grid + 1).astype(int)
+    xs = np.linspace(0, w, grid + 1).astype(int)
+    out = []
+    for i in range(grid):
+        for j in range(grid):
+            cell = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                        xs[j]:max(xs[j + 1], xs[j] + 1)]
+            out.append(float(cell.mean()))
+    return out
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic fake decoder: derives a stable (width, height) and a
-    16-dim feature vector from the payload bytes. Replace with a real codec
-    (PIL.Image.open etc.) in production — signature stays identical.
-    Raises NotImplementedError for payloads flagged as requiring a real
-    codec (magic prefix b'REAL')."""
+    """Image decode: REAL for 24-bit BMP and binary PGM/PPM (header parse +
+    pixel statistics); deterministic sha256-derived fake for any other
+    payload (so arbitrary bytes exercise the pipeline shape and the driver
+    oracle can recompute the output). b'REAL'-prefixed payloads hard-raise:
+    they mark inputs that must never take the fallback."""
     if payload[:4] == b"REAL":
-        raise NotImplementedError("real image decoding requires PIL/libvips on executors")
+        raise NotImplementedError("this payload requires PIL/libvips on executors")
+    decoded = _decode_pixels(payload)
+    if decoded is not None:
+        width, height, px = decoded
+        return width, height, _grid_features(px)
     h = hashlib.sha256(payload).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
@@ -97,10 +200,28 @@ def media_profile(media: DataFrame) -> DataFrame:
         F.max(F.length("payload")).alias("max_bytes"))
 
 
+def _resize_nearest(px, width: int, height: int):
+    """Real nearest-neighbor resample (numpy fancy indexing)."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return px[yi][:, xi]
+
+
+def _encode_ppm(px) -> bytes:
+    """Re-encode pixels as binary PPM (P6) — the zero-dependency sink
+    format for resized output."""
+    h, w = px.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.astype("uint8").tobytes()
+
+
 def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Resize plumbing: Arrow-batched mapInPandas with the codec stubbed
-    (deterministic fake payload = sha256 of (payload, w, h) bytes). Swap the
-    stub for PIL's resize in production; schema/batching stay identical."""
+    """Arrow-batched resize. REAL (decode → nearest-neighbor resample →
+    re-encode as binary PPM) for BMP/PGM/PPM payloads; deterministic
+    sha-fake payload for undecodable bytes (pipeline-shape testing). Swap
+    the fallback for PIL in production; schema/batching stay identical."""
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
         T.StructField("width", T.IntegerType(), False),
@@ -115,10 +236,14 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                 data = bytes(payload) if payload is not None else b""
                 if data[:4] == b"REAL":
                     raise NotImplementedError(
-                        "real image resize requires PIL/libvips on executors")
-                fake = hashlib.sha256(data + f"{width}x{height}".encode()).digest()
+                        "this payload requires PIL/libvips on executors")
+                decoded = _decode_pixels(data)
+                if decoded is not None:
+                    out = _encode_ppm(_resize_nearest(decoded[2], width, height))
+                else:
+                    out = hashlib.sha256(data + f"{width}x{height}".encode()).digest()
                 recs.append({"media_id": int(mid), "width": width,
-                             "height": height, "payload": fake})
+                             "height": height, "payload": out})
             yield pd.DataFrame(recs, columns=[f.name for f in out_schema.fields])
 
     img = media.where(F.col("media_type") == "image").select("media_id", "payload")

@@ -174,3 +174,94 @@ def test_hf_backend_gated(spark):
     import pytest as _pt
     with _pt.raises(Exception, match="transformers|NotImplementedError|rules"):
         extract_entities(df, backend="hf", model_dir="/nonexistent").collect()
+
+
+# ---------------------------------------------------------------------------
+# REAL codec paths (pure stdlib/numpy): BMP + netpbm decode, features, resize
+# ---------------------------------------------------------------------------
+
+def _make_bmp(px) -> bytes:
+    import struct
+
+    h, w = px.shape[:2]
+    row = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):          # bottom-up rows
+        r = px[y][:, ::-1].tobytes()        # RGB -> BGR
+        body += r + b"\x00" * (row - len(r))
+    off = 14 + 40
+    hdr = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                         2835, 2835, 0, 0))
+    return bytes(hdr) + bytes(body)
+
+
+def _make_ppm(px) -> bytes:
+    h, w = px.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.astype("uint8").tobytes()
+
+
+def _media_df(spark, payloads):
+    rows = [(i, "image", "image/x-test", bytearray(p), {}) for i, p in enumerate(payloads)]
+    from amharic_ecommerce_data_extractor_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_real_decode_bmp_and_ppm(spark):
+    import hashlib
+
+    import numpy as np
+
+    from amharic_ecommerce_data_extractor_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    white = np.full((6, 8, 3), 255, dtype=np.uint8)
+    black = np.zeros((4, 4, 3), dtype=np.uint8)
+    text = "just some text".encode()
+    df = _media_df(spark, [_make_bmp(white), _make_ppm(black), text])
+    got = {r["media_id"]: r for r in extract_image_features(df).collect()}
+
+    assert (got[0]["width"], got[0]["height"]) == (8, 6)      # real BMP header
+    assert all(abs(f - 1.0) < 1e-6 for f in got[0]["feature"])  # all-white grid
+    assert (got[1]["width"], got[1]["height"]) == (4, 4)      # real PPM header
+    assert all(abs(f) < 1e-6 for f in got[1]["feature"])      # all-black grid
+    # undecodable payload keeps the deterministic sha fallback (oracle twin)
+    h = hashlib.sha256(text).digest()
+    assert (got[2]["width"], got[2]["height"]) == (64 + h[0] % 192, 64 + h[1] % 192)
+
+
+def test_real_decode_pgm_grayscale(spark):
+    import numpy as np
+
+    from amharic_ecommerce_data_extractor_spark.operators.multimodal import (
+        _decode_pixels,
+    )
+
+    pgm = b"P5\n# comment\n3 2\n255\n" + bytes([0, 128, 255, 10, 20, 30])
+    w, h, px = _decode_pixels(pgm)
+    assert (w, h) == (3, 2)
+    assert px.shape == (2, 3, 3)
+    assert int(px[0, 1, 0]) == 128 and int(px[1, 2, 2]) == 30
+
+
+def test_real_resize_roundtrip(spark):
+    import numpy as np
+
+    from amharic_ecommerce_data_extractor_spark.operators.multimodal import (
+        _decode_pixels,
+        resize_images,
+    )
+
+    # left half red, right half blue — survives nearest-neighbor resize
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[:, :4, 0] = 255
+    px[:, 4:, 2] = 255
+    df = _media_df(spark, [_make_bmp(px)])
+    out = resize_images(df, width=4, height=4).collect()[0]
+    assert (out["width"], out["height"]) == (4, 4)
+    w, h, rpx = _decode_pixels(bytes(out["payload"]))
+    assert (w, h) == (4, 4)
+    assert int(rpx[0, 0, 0]) == 255 and int(rpx[0, 0, 2]) == 0
+    assert int(rpx[3, 3, 2]) == 255 and int(rpx[3, 3, 0]) == 0
