@@ -190,3 +190,55 @@ def test_write_labeling_file(spark, tmp_path):
     assert "ሰላም" in lines and "500" in lines and "blender" in lines
     assert all("skip" not in ln for ln in lines)
     assert "" in lines  # blank separator rows survive
+
+
+# ---------------------------------------------------------------------------
+# Property test: random corpora vs a reference-semantics Python parser,
+# under randomized scan-split sizes (multi-split reconstruction invariant)
+# ---------------------------------------------------------------------------
+
+def _reference_parse(text: str):
+    """The reference parser's semantics (utils/conll_parser.py:5-53):
+    strip each line, blank closes a sentence, split on whitespace runs."""
+    sentences, cur = [], []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            if cur:
+                sentences.append(cur)
+            cur = []
+        else:
+            tok, lab = line.split(None, 1)[0], line.split(None, 1)[1]
+            cur.append((tok, lab.strip()))
+    if cur:
+        sentences.append(cur)
+    return sentences
+
+
+def test_read_conll_property(spark, tmp_path):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        lines = []
+        for s in range(rng.randint(1, 120)):
+            for t in range(rng.randint(1, 5)):
+                sep = rng.choice(["\t", " ", "   ", " \t "])
+                lines.append(f"w{s}_{t}{sep}B-PRODUCT")
+            lines.extend([""] * rng.randint(1, 3))  # multi-blank runs
+        text = "\n".join(lines) + rng.choice(["", "\n", "\n\n"])
+        p = tmp_path / f"prop_{trial}.conll"
+        p.write_text(text, encoding="utf-8")
+
+        want = [([t for t, _ in sent], [lab for _, lab in sent])
+                for sent in _reference_parse(text)]
+
+        before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        try:
+            spark.conf.set("spark.sql.files.maxPartitionBytes",
+                           str(rng.choice([512, 2048, 134217728])))
+            got = [(list(r["tokens"]), list(r["labels"]))
+                   for r in read_conll(spark, str(p)).orderBy("sentence_id").collect()]
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+        assert got == want, f"trial {trial}"

@@ -89,3 +89,37 @@ def test_scan_partition_sizing(spark, sf_dir):
     assert df.rdd.getNumPartitions() >= 1
     assert int(spark.conf.get("spark.sql.shuffle.partitions")) >= 4
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_salted_topk_has_no_hot_key_window(spark):
+    """q43's phase-1 window must be partitioned by (key, salt) — never by the
+    bare hot key (which would serialize the mega-key through one task)."""
+    from amharic_ecommerce_data_extractor_spark.operators.skew import salted_topk
+
+    df = spark.createDataFrame([(i % 3, float(i), i) for i in range(100)],
+                               "k long, v double, t long")
+    out = salted_topk(df, key="k", order_col="v", k=3, tie_col="t")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    windows = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert len(windows) == 2
+    # phase 1 (deeper in the tree = later in the printed plan) carries _salt
+    assert "_salt" in windows[-1]
+
+
+def test_knn_ivf_join_is_equi_on_cell(spark):
+    """IVF probe join must be an equi join on the cell id — never a cross
+    join (that is the whole point of the coarse quantizer)."""
+    from amharic_ecommerce_data_extractor_spark.operators.similarity import knn_ivf
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13) for d in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    cents = [[1.0] + [0.0] * 7, [0.0] * 7 + [1.0]]
+    plan = knn_ivf(emb.limit(4), emb, cents, k=3, nprobe=1) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    join_lines = [ln for ln in plan.splitlines() if "Join Inner" in ln]
+    assert join_lines and all(re.search(r"\(cell#\d+ = cell#\d+\)", ln)
+                              for ln in join_lines), join_lines
+    assert "Join Cross" not in plan
