@@ -88,3 +88,20 @@ def test_numpy_backend_empty_and_blank_rows(extracted):
     rows = {r.message_id: r for r in extracted.collect()}
     assert rows[3].tokens == [] and rows[3].labels == []
     assert rows[4].tokens == [] and rows[4].labels == []
+
+
+def test_numpy_backend_composes_with_kg_downstream(spark):
+    """The model backend's output schema must drive the full KG downstream:
+    triples emission and the vendor scorecard run unchanged on it."""
+    from amharic_ecommerce_data_extractor_spark.data.synthetic import generate_messages
+    from amharic_ecommerce_data_extractor_spark.operators.scorecard import vendor_scorecard
+    from amharic_ecommerce_data_extractor_spark.operators.triples import emit_triples
+
+    msgs = generate_messages(spark, n_rows=200, n_vendors=5)
+    ext = extract_entities(msgs, backend="numpy", model_dir=MODEL)
+    tri = emit_triples(ext)
+    assert tri.count() > 0
+    assert set(r["pred"] for r in tri.select("pred").distinct().collect()) \
+        <= {"sells", "priced_at", "located_in", "contact"}
+    sc = vendor_scorecard(ext)
+    assert sc.count() == msgs.select("repo").distinct().count()
