@@ -81,20 +81,29 @@ def run_pipeline(
         metrics[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # Stage 0: ingest
+    # Stage 0: ingest — checkpointed hive-partitioned by the chunk bucket,
+    # so the chunked extract stage reads each chunk via PARTITION PRUNING
+    # (one total pass over the input, not n_chunks full scans)
     def build_ingest():
         if input_path:
-            return spark.read.parquet(input_path)
-        from ..data.synthetic import generate_messages
+            raw = spark.read.parquet(input_path)
+        else:
+            from ..data.synthetic import generate_messages
 
-        return generate_messages(spark, n_rows=n_messages, n_vendors=max(20, n_messages // 200))
+            raw = generate_messages(spark, n_rows=n_messages,
+                                    n_vendors=max(20, n_messages // 200))
+        return ckpt.with_chunk_column(raw, n_chunks=n_chunks)
 
-    messages = timed("ingest", lambda: ckpt.run_stage(spark, workdir, "ingest", build_ingest))
+    messages = timed("ingest", lambda: ckpt.run_stage(
+        spark, workdir, "ingest", build_ingest, partition_by=[ckpt.CHUNK_COL]))
     assert ckpt.verify_sha256_invariant(messages) == 0, "sha256 invariant broken at ingest"
 
-    # Stage 1: extract (chunked: intra-stage resume)
+    # Stage 1: extract (chunked: intra-stage resume; chunk filter prunes
+    # ingest partitions)
     extracted = timed("extract", lambda: ckpt.chunked_stage(
-        spark, workdir, "extract", messages, extract_entities, n_chunks=n_chunks))
+        spark, workdir, "extract", messages,
+        lambda part: extract_entities(part).drop(ckpt.CHUNK_COL),
+        n_chunks=n_chunks))
     assert ckpt.verify_sha256_invariant(extracted) == 0, "sha256 invariant broken at extract"
 
     # Stage 2: raw triples

@@ -29,6 +29,17 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MARKER = "_STAGE_DONE"
+CHUNK_COL = "_chunk"
+
+
+def with_chunk_column(df: DataFrame, key_col: str = "message_id",
+                      n_chunks: int = 8) -> DataFrame:
+    """Adds the ``_chunk`` hash-bucket column. Checkpoint the result with
+    ``run_stage(..., partition_by=['_chunk'])`` and a downstream
+    ``chunked_stage`` reads each chunk via partition pruning (one total
+    pass over the input instead of n_chunks full scans)."""
+    return df.withColumn(CHUNK_COL,
+                         F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_chunks)).cast("int"))
 
 
 def _marker_path(stage_dir: str) -> str:
@@ -78,14 +89,17 @@ def write_stage(df: DataFrame, stage_dir: str, stage: str,
                    "seconds": round(time.perf_counter() - t0, 3)}, f)
 
 
-def run_stage(spark: SparkSession, workdir: str, stage: str, build) -> DataFrame:
+def run_stage(spark: SparkSession, workdir: str, stage: str, build,
+              partition_by: list[str] | None = None) -> DataFrame:
     """Compute-or-resume: if the stage marker exists, read the checkpoint;
-    otherwise build(), checkpoint, and read back (truncating lineage)."""
+    otherwise build(), checkpoint, and read back (truncating lineage).
+    partition_by lays the checkpoint out hive-partitioned — downstream
+    filters on those columns become partition pruning, not data scans."""
     stage_dir = os.path.join(workdir, stage)
     data_path = os.path.join(stage_dir, "data")
     if not stage_done(stage_dir):
         os.makedirs(stage_dir, exist_ok=True)
-        write_stage(build(), stage_dir, stage)
+        write_stage(build(), stage_dir, stage, partition_by=partition_by)
     return spark.read.parquet(data_path)
 
 
@@ -105,7 +119,14 @@ def chunked_stage(
 
     A stage-level manifest (chunking params) is committed BEFORE the first
     chunk: resuming with a different n_chunks/key_col would silently change
-    the pmod memberships (duplicated + missing rows), so it hard-fails."""
+    the pmod memberships (duplicated + missing rows), so it hard-fails.
+
+    Scan amplification: with a plain source, every chunk's filter re-scans
+    the full input (n_chunks× read amplification — fatal at 100 TB). When
+    the source carries a ``_chunk`` column AND was checkpointed partitioned
+    by it (see ``with_chunk_column`` + ``run_stage(partition_by=...)``),
+    the per-chunk filter is a PARTITION-PRUNING predicate: each chunk reads
+    only its own files, total read = one pass over the input."""
     stage_dir = os.path.join(workdir, stage)
     os.makedirs(stage_dir, exist_ok=True)
     manifest_path = os.path.join(stage_dir, "_CHUNK_MANIFEST")
@@ -121,7 +142,10 @@ def chunked_stage(
     else:
         with open(manifest_path, "w", encoding="utf-8") as f:
             json.dump(manifest, f)
-    chunk_key = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_chunks))
+    if CHUNK_COL in source.columns:
+        chunk_key = F.col(CHUNK_COL)
+    else:
+        chunk_key = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_chunks))
     for chunk in range(n_chunks):
         cdir = os.path.join(stage_dir, f"chunk={chunk}")
         if stage_done(cdir):

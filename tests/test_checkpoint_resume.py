@@ -104,3 +104,28 @@ def test_chunked_stage_nchunks_mismatch_raises(spark, tmp_path):
     # resuming with the committed parameters still works
     out = chunked_stage(spark, wd, "st", src, lambda d: d, n_chunks=4)
     assert out.count() == 100
+
+
+def test_chunked_source_reads_prune_partitions(spark, tmp_path):
+    """A chunk-partitioned ingest checkpoint turns the per-chunk filter into
+    parquet PARTITION PRUNING — each chunk job reads only its own files
+    (one total input pass) instead of re-scanning everything n_chunks times."""
+    from pyspark.sql import functions as F
+
+    from amharic_ecommerce_data_extractor_spark.sources import checkpoint as ckpt
+
+    df = ckpt.with_chunk_column(
+        spark.range(1000).withColumnRenamed("id", "message_id"), n_chunks=4)
+    src = ckpt.run_stage(spark, str(tmp_path), "ingest", lambda: df,
+                         partition_by=[ckpt.CHUNK_COL])
+    plan = src.where(F.col(ckpt.CHUNK_COL) == 2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "_chunk" in pf and "= 2" in pf
+
+    # and chunked_stage over it reproduces the full row set exactly
+    out = ckpt.chunked_stage(spark, str(tmp_path), "ex", src,
+                             lambda d: d.drop(ckpt.CHUNK_COL), n_chunks=4)
+    assert out.count() == 1000
+    assert out.select(F.countDistinct("message_id")).collect()[0][0] == 1000
