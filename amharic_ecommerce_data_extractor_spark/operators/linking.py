@@ -297,27 +297,36 @@ def canonicalize_surfaces(
         .select("type", "surface", "node_id",
                 F.coalesce("component", "node_id").alias("canonical_id"))
     )
-    # deterministic representative: lexicographically smallest surface
+    # deterministic representative: lexicographically smallest surface.
+    # NO broadcast hint: reps has one row per component — DATA-sized, not a
+    # dimension. The join is a plain hash-key equi join; AQE still picks
+    # broadcast when reps happens to be small.
     reps = (linked.groupBy("canonical_id")
             .agg(F.min("surface").alias("canonical_surface")))
-    return linked.join(F.broadcast(reps), "canonical_id").select(
+    return linked.join(reps, "canonical_id").select(
         "type", "surface", "node_id", "canonical_id", "canonical_surface")
 
 
 def canonicalize_triples(triples: DataFrame, canon: DataFrame) -> DataFrame:
     """Rewrite triple subjects/objects onto canonical surfaces. Products are
     canonicalized on both sides (subj of priced_at, obj of sells); locations
-    on the obj of located_in; vendors/contacts/prices pass through."""
+    on the obj of located_in; vendors/contacts/prices pass through.
+
+    NO broadcast hints: the surface→canonical maps scale with the distinct
+    surface count (data-sized at 100 TB, not dimensions). Theta-free shape:
+    each rewrite is an equi join on the surface key with the pred condition
+    folded into the key side, so AQE can pick broadcast/SMJ per actual size
+    and split skewed surface keys."""
     prod = canon.where(F.col("type") == "PRODUCT").select(
         F.col("surface").alias("k"), F.col("canonical_surface").alias("v"))
     loc = canon.where(F.col("type") == "LOC").select(
         F.col("surface").alias("k"), F.col("canonical_surface").alias("v"))
 
     t = triples
-    t = (t.join(F.broadcast(prod), (t.pred == "sells") & (t.obj == prod.k), "left")
+    t = (t.join(prod, (t.pred == "sells") & (t.obj == prod.k), "left")
          .withColumn("obj", F.coalesce("v", "obj")).drop("k", "v"))
-    t = (t.join(F.broadcast(prod), (t.pred == "priced_at") & (t.subj == prod.k), "left")
+    t = (t.join(prod, (t.pred == "priced_at") & (t.subj == prod.k), "left")
          .withColumn("subj", F.coalesce("v", "subj")).drop("k", "v"))
-    t = (t.join(F.broadcast(loc), (t.pred == "located_in") & (t.obj == loc.k), "left")
+    t = (t.join(loc, (t.pred == "located_in") & (t.obj == loc.k), "left")
          .withColumn("obj", F.coalesce("v", "obj")).drop("k", "v"))
     return t.select("subj", "pred", "obj", "message_id", "confidence")
