@@ -68,19 +68,19 @@ def read_conll(spark: SparkSession, path: str, strict: bool = True,
         F.regexp_replace("value", _STRIP, "").alias("value"),
     )
 
-    # pass 1: per-(file, split) stats → base offsets, in split order per file
+    # pass 1: per-(file, split) stats → base offsets via a per-file running
+    # sum over splits. Stays distributed (one row per scan split — millions
+    # of rows at petabyte scale, never a driver collect); the window
+    # partitions by file, so it parallelizes across files.
     stats = (raw.groupBy("file", "pid")
-             .agg(F.count("*").alias("n_lines"), F.sum(blank).alias("n_blanks"))
-             .collect())
-    offsets, line_base, sent_base = [], {}, {}
-    for r in sorted(stats, key=lambda r: (r["file"], r["pid"])):
-        lb = line_base.get(r["file"], 0)
-        sb = sent_base.get(r["file"], 0)
-        offsets.append((r["file"], r["pid"], lb, sb))
-        line_base[r["file"]] = lb + r["n_lines"]
-        sent_base[r["file"]] = sb + r["n_blanks"]
-    off_df = spark.createDataFrame(
-        offsets, "file string, pid int, line_base long, sent_base long")
+             .agg(F.count("*").alias("n_lines"), F.sum(blank).alias("n_blanks")))
+    w_prev = (Window.partitionBy("file").orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    off_df = stats.select(
+        "file", "pid",
+        F.coalesce(F.sum("n_lines").over(w_prev), F.lit(0)).alias("line_base"),
+        F.coalesce(F.sum("n_blanks").over(w_prev), F.lit(0)).alias("sent_base"),
+    )
 
     # pass 2: per-partition local positions (window partitioned by split —
     # parallel), then global positions via the broadcast offsets
