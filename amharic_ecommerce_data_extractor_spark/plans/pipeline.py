@@ -72,6 +72,10 @@ def run_pipeline(
     n_chunks: int = 8,
     lsh_threshold: float = 0.6,
 ) -> dict:
+    """Checkpoint format: parquet in this sandbox; set
+    SPARK_GRAFT_CHECKPOINT_FORMAT=iceberg (with the runtime jar + catalog
+    configured on the cluster) to write every stage as Iceberg tables — the
+    sinks are format-dispatched (sources/checkpoint.py write_stage)."""
     os.makedirs(workdir, exist_ok=True)
     metrics: dict[str, float] = {}
 

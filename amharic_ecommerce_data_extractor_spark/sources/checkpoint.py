@@ -89,18 +89,26 @@ def write_stage(df: DataFrame, stage_dir: str, stage: str,
                    "seconds": round(time.perf_counter() - t0, 3)}, f)
 
 
+def checkpoint_format() -> str:
+    """Stage-sink format: 'parquet' (sandbox default) or e.g. 'iceberg' via
+    SPARK_GRAFT_CHECKPOINT_FORMAT (cluster with the runtime jar + catalog)."""
+    return os.environ.get("SPARK_GRAFT_CHECKPOINT_FORMAT", "parquet")
+
+
 def run_stage(spark: SparkSession, workdir: str, stage: str, build,
-              partition_by: list[str] | None = None) -> DataFrame:
+              partition_by: list[str] | None = None,
+              fmt: str | None = None) -> DataFrame:
     """Compute-or-resume: if the stage marker exists, read the checkpoint;
     otherwise build(), checkpoint, and read back (truncating lineage).
     partition_by lays the checkpoint out hive-partitioned — downstream
     filters on those columns become partition pruning, not data scans."""
+    fmt = fmt or checkpoint_format()
     stage_dir = os.path.join(workdir, stage)
     data_path = os.path.join(stage_dir, "data")
     if not stage_done(stage_dir):
         os.makedirs(stage_dir, exist_ok=True)
-        write_stage(build(), stage_dir, stage, partition_by=partition_by)
-    return spark.read.parquet(data_path)
+        write_stage(build(), stage_dir, stage, partition_by=partition_by, fmt=fmt)
+    return spark.read.format(fmt).load(data_path)
 
 
 def chunked_stage(
@@ -111,6 +119,7 @@ def chunked_stage(
     transform,
     key_col: str = "message_id",
     n_chunks: int = 8,
+    fmt: str | None = None,
 ) -> DataFrame:
     """Stage with intra-stage resume: the input is hash-split on key_col into
     n_chunks; each chunk is transformed and committed independently (its own
@@ -142,6 +151,7 @@ def chunked_stage(
     else:
         with open(manifest_path, "w", encoding="utf-8") as f:
             json.dump(manifest, f)
+    fmt = fmt or checkpoint_format()
     if CHUNK_COL in source.columns:
         chunk_key = F.col(CHUNK_COL)
     else:
@@ -152,10 +162,10 @@ def chunked_stage(
             continue
         os.makedirs(cdir, exist_ok=True)
         part = source.where(chunk_key == chunk)
-        write_stage(transform(part), cdir, f"{stage}/chunk={chunk}")
+        write_stage(transform(part), cdir, f"{stage}/chunk={chunk}", fmt=fmt)
     with open(_marker_path(stage_dir), "w", encoding="utf-8") as f:
         json.dump({"stage": stage, "chunks": n_chunks}, f)
-    return spark.read.parquet(os.path.join(stage_dir, "chunk=*", "data"))
+    return spark.read.format(fmt).load(os.path.join(stage_dir, "chunk=*", "data"))
 
 
 def verify_sha256_invariant(df: DataFrame, text_col: str = "content") -> int:
