@@ -987,6 +987,50 @@ def q39(spark, sf_dir):
         .select("query_id", "neighbor_id", "rnk")
 
 
+@_q("q46_knn_ivf_indexed", f"""
+WITH {_IVF_CENT_SQL}
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY list_cosine_similarity(p.q_vec, a.embedding) DESC,
+                                     a.vec_id ASC) AS rnk
+  FROM probes p JOIN assigned a ON p.cell = a.cell
+  WHERE p.query_id <> a.vec_id)
+WHERE rnk <= 5
+""")
+def q46(spark, sf_dir):
+    # same semantics as q39 through the MATERIALIZED index path: corpus
+    # written hive-partitioned by cell, probes prune index partitions
+    import math
+    import shutil
+    import tempfile
+
+    from amharic_ecommerce_data_extractor_spark.operators.similarity import (
+        ivf_index_write,
+        knn_ivf_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = sorted(emb.where(F.col("vec_id") < 16).collect(),
+                       key=lambda r: r["vec_id"])
+    cents = []
+    for r in cent_rows:
+        v = [float(x) for x in r["embedding"]]
+        nrm = math.sqrt(sum(x * x for x in v))
+        cents.append([x / nrm for x in v])
+    idx = tempfile.mkdtemp(prefix="ivf_q46_")
+    try:
+        ivf_index_write(emb, cents, idx)
+        queries = emb.where(F.col("vec_id") % 100 == 0)
+        out = knn_ivf_indexed(spark, queries, idx, cents, k=5, nprobe=4) \
+            .select("query_id", "neighbor_id", "rnk")
+        # materialize before the index dir is removed
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 @_q("q40_embedding_near_dup_pairs", """
 WITH planes AS (
   SELECT p, list_transform(range(64), d ->

@@ -76,3 +76,38 @@ def test_ivf_sampling_unbiased_on_partition_clustered_corpus(spark):
     for center in (a.mean(axis=0), b.mean(axis=0)):
         c = center / np.linalg.norm(center)
         assert max(float(c @ cent / np.linalg.norm(cent)) for cent in cents) > 0.95
+
+
+def test_ivf_materialized_index_matches_and_prunes(spark, tmp_path):
+    """knn_ivf_indexed == knn_ivf result-for-result, and the indexed scan's
+    physical plan prunes to the probed cells' partitions."""
+    import numpy as np
+
+    from amharic_ecommerce_data_extractor_spark.operators.similarity import (
+        ivf_index_write,
+        ivf_train_centroids,
+        knn_ivf,
+        knn_ivf_indexed,
+    )
+
+    rng = np.random.RandomState(1)
+    rows = [(i, [float(v) for v in rng.normal(0, 1, 16)]) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_train_centroids(emb, n_cells=4, dim=16, sample_size=200, seed=3)
+    idx = str(tmp_path / "ivf_index")
+    ivf_index_write(emb, cents, idx)
+
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    direct = sorted(tuple(r) for r in knn_ivf(queries, emb, cents, k=5, nprobe=2)
+                    .select("query_id", "neighbor_id", "rnk").collect())
+    indexed_df = knn_ivf_indexed(spark, queries, idx, cents, k=5, nprobe=2)
+    indexed = sorted(tuple(r) for r in indexed_df
+                     .select("query_id", "neighbor_id", "rnk").collect())
+    assert direct == indexed
+
+    # the index side of the join is a DynamicPruning/partition-keyed scan:
+    # 'cell' must appear as a partition filter, not a post-scan data filter
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "cell" in pf
