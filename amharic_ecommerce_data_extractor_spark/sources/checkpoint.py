@@ -168,6 +168,41 @@ def chunked_stage(
     return spark.read.format(fmt).load(os.path.join(stage_dir, "chunk=*", "data"))
 
 
+def verify_stage_lineage(spark: SparkSession, stage_dir: str,
+                         fmt: str | None = None) -> dict:
+    """Re-verify a checkpointed stage against its _lineage manifest.
+
+    Per-partition signatures are not comparable across reads (split
+    boundaries move), but their XOR-fold is: bit_xor is associative and
+    commutative, so XOR of the stored per-partition content signatures ==
+    the global bit_xor over all rows, however the data is partitioned on
+    re-read. Compares global row count + global content signature (+ the
+    sha256 signature when present). Returns {'ok': bool, ...evidence}."""
+    fmt = fmt or checkpoint_format()
+    data = spark.read.format(fmt).load(os.path.join(stage_dir, "data"))
+    lin = spark.read.parquet(os.path.join(stage_dir, "_lineage"))
+
+    stored_aggs = [F.sum("n_rows").alias("n_rows"),
+                   F.expr("bit_xor(content_sig)").alias("content_sig")]
+    has_sha = "sha256_sig" in lin.columns
+    if has_sha:
+        stored_aggs.append(F.expr("bit_xor(sha256_sig)").alias("sha256_sig"))
+    stored = lin.agg(*stored_aggs).collect()[0]
+
+    cols = data.columns
+    fresh_aggs = [F.count("*").alias("n_rows"),
+                  F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("content_sig")]
+    if has_sha:
+        fresh_aggs.append(F.expr("bit_xor(xxhash64(content_sha256))").alias("sha256_sig"))
+    fresh = data.agg(*fresh_aggs).collect()[0]
+
+    checks = {k: (stored[k] or 0) == (fresh[k] or 0)
+              for k in (["n_rows", "content_sig"] + (["sha256_sig"] if has_sha else []))}
+    return {"ok": all(checks.values()), "checks": checks,
+            "stored": {k: stored[k] for k in checks},
+            "fresh": {k: fresh[k] for k in checks}}
+
+
 def verify_sha256_invariant(df: DataFrame, text_col: str = "content") -> int:
     """Rows whose content no longer matches their carried sha256 — must be 0
     at every checkpoint (BASELINE.md row invariant)."""

@@ -129,3 +129,27 @@ def test_chunked_source_reads_prune_partitions(spark, tmp_path):
                              lambda d: d.drop(ckpt.CHUNK_COL), n_chunks=4)
     assert out.count() == 1000
     assert out.select(F.countDistinct("message_id")).collect()[0][0] == 1000
+
+
+def test_verify_stage_lineage_detects_tampering(spark, tmp_path):
+    """The _lineage manifest is re-verifiable after any repartitioning:
+    XOR-fold of per-partition signatures is partition-invariant. Appending
+    rows behind the checkpoint's back must be detected."""
+    from amharic_ecommerce_data_extractor_spark.sources import checkpoint as ckpt
+
+    df = spark.range(500).select(
+        F.col("id").alias("message_id"),
+        F.concat(F.lit("m"), F.col("id")).alias("content"),
+        F.sha2(F.concat(F.lit("m"), F.col("id")), 256).alias("content_sha256"))
+    d = str(tmp_path / "st")
+    ckpt.run_stage(spark, str(tmp_path), "st", lambda: df)
+
+    res = ckpt.verify_stage_lineage(spark, d)
+    assert res["ok"], res
+    assert "sha256_sig" in res["checks"]
+
+    # tamper: sneak one extra row into the data dir
+    df.limit(1).write.mode("append").parquet(d + "/data")
+    res2 = ckpt.verify_stage_lineage(spark, d)
+    assert not res2["ok"]
+    assert not res2["checks"]["n_rows"]
