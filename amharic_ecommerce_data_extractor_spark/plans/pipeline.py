@@ -71,11 +71,15 @@ def run_pipeline(
     input_path: str | None = None,
     n_chunks: int = 8,
     lsh_threshold: float = 0.6,
+    verify_lineage: bool = False,
 ) -> dict:
     """Checkpoint format: parquet in this sandbox; set
     SPARK_GRAFT_CHECKPOINT_FORMAT=iceberg (with the runtime jar + catalog
     configured on the cluster) to write every stage as Iceberg tables — the
-    sinks are format-dispatched (sources/checkpoint.py write_stage)."""
+    sinks are format-dispatched (sources/checkpoint.py write_stage).
+    verify_lineage=True re-verifies every completed stage checkpoint against
+    its _lineage manifest (partition-invariant signature fold) at the end —
+    one extra scan per stage, the paranoid/audit mode."""
     os.makedirs(workdir, exist_ok=True)
     metrics: dict[str, float] = {}
 
@@ -132,7 +136,7 @@ def run_pipeline(
         spark, workdir, "graph_features",
         lambda: vendor_graph_features(canon_triples)))
 
-    return {
+    summary = {
         "workdir": workdir,
         "messages": messages.count(),
         "triples": canon_triples.count(),
@@ -141,6 +145,20 @@ def run_pipeline(
         "vendors_with_graph_features": graph_feats.count(),
         "stage_seconds": metrics,
     }
+    if verify_lineage:
+        results = {}
+        for stage in ("ingest", "triples", "link", "graph_triples",
+                      "graph_nodes", "scorecard", "graph_features"):
+            results[stage] = ckpt.verify_stage_lineage(
+                spark, os.path.join(workdir, stage))["ok"]
+        for chunk_dir in sorted(
+                d for d in os.listdir(os.path.join(workdir, "extract"))
+                if d.startswith("chunk=")):
+            results[f"extract/{chunk_dir}"] = ckpt.verify_stage_lineage(
+                spark, os.path.join(workdir, "extract", chunk_dir))["ok"]
+        assert all(results.values()), f"lineage verification failed: {results}"
+        summary["lineage_verified"] = len(results)
+    return summary
 
 
 def main() -> None:
@@ -150,6 +168,7 @@ def main() -> None:
     ap.add_argument("--input", default=None)
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--verify-lineage", action="store_true")
     args = ap.parse_args()
 
     from ..session import get_spark
@@ -157,7 +176,8 @@ def main() -> None:
     spark = get_spark(app_name="kg_pipeline", cores=args.cpus)
     try:
         summary = run_pipeline(spark, args.workdir, n_messages=args.messages,
-                               input_path=args.input, n_chunks=args.chunks)
+                               input_path=args.input, n_chunks=args.chunks,
+                               verify_lineage=args.verify_lineage)
         print(json.dumps(summary))
     finally:
         spark.stop()
