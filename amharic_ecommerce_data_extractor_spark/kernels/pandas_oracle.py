@@ -174,14 +174,15 @@ def canonicalize_counts(surfaces: pd.DataFrame, shingle_n: int = 3,
     ab = minhash_seed_constants(num_hashes)
     buckets: dict[tuple[int, str], list[int]] = defaultdict(list)
     shingles_of: dict[int, frozenset] = {}
-    for nid, _t, sh in nodes:
+    for nid, t, sh in nodes:
         shingles_of[nid] = sh
         h0s = [_md5_60bit(g) % MINHASH_P for g in sh]
         sig = [min((a * h + b) % MINHASH_P for h in h0s) for a, b in ab]
         for b in range(bands):
             key = ",".join(str(v) for v in sig[b * rows:(b + 1) * rows])
             bsig = hashlib.md5(key.encode()).hexdigest()
-            buckets[(b, bsig)].append(nid)
+            # bucket key includes the entity type: linking never crosses types
+            buckets[(t, b, bsig)].append(nid)
 
     parent: dict[int, int] = {nid: nid for nid, _, _ in nodes}
 

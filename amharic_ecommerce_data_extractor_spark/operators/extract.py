@@ -194,14 +194,20 @@ def _extract_batch_numpy(clean: pd.Series, model_path: str) -> list[dict]:
                     and prev["_last_tok"] == i - 1):
                 prev["end"] = s1
                 prev["word"] = text[prev["start"]:s1]
-                prev["score"] = (prev["score"] + score) / 2
+                # HF 'simple' aggregation scores a span with the MEAN over
+                # its token scores (np.mean), not a running average
+                prev["_score_sum"] += score
+                prev["_n"] += 1
+                prev["score"] = prev["_score_sum"] / prev["_n"]
                 prev["_last_tok"] = i
             else:
                 spans.append({"entity_group": etype, "word": text[s0:s1],
                               "score": score, "start": s0, "end": s1,
-                              "_last_tok": i})
+                              "_last_tok": i, "_score_sum": score, "_n": 1})
         for s in spans:
             s.pop("_last_tok")
+            s.pop("_score_sum")
+            s.pop("_n")
         results.append(spans)
     return _records_from_spans(texts, results)
 

@@ -125,8 +125,9 @@ def jaccard(a, b):
 
 
 def banded_candidate_pairs(sig_df: DataFrame, bands: int, rows: int,
-                           hash_fn: str = "xxhash64") -> DataFrame:
-    """(nid, shingles, minhash) → verified (src, dst, sim), src < dst.
+                           hash_fn: str = "xxhash64",
+                           group_col: str | None = None) -> DataFrame:
+    """(nid, shingles, minhash[, group]) → verified (src, dst, sim), src < dst.
 
     Scale-critical shape: the band self-join carries ONLY (nid, band, sig) —
     document content (shingle arrays) never rides the banded exchange. With
@@ -135,15 +136,20 @@ def banded_candidate_pairs(sig_df: DataFrame, bands: int, rows: int,
     shuffle at 100 TB). Instead the deduplicated candidate pairs rejoin the
     (checkpointed) nid→shingles frame once per side — content crosses a
     shuffle at most once per side, independent of band count.
-    """
+
+    group_col: when given, the band join also matches on it — pairs never
+    cross groups (entity linking uses the entity type here, so a PRODUCT
+    surface can never link to a similarly-spelled LOC surface)."""
+    keys = ["band", "sig"] + ([group_col] if group_col else [])
+    cols = ["nid"] + ([group_col] if group_col else [])
     banded = sig_df.select(
-        "nid", F.explode(band_keys(F.col("minhash"), bands, rows, hash_fn)).alias("bk"),
-    ).select("nid", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+        *cols, F.explode(band_keys(F.col("minhash"), bands, rows, hash_fn)).alias("bk"),
+    ).select(*cols, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
 
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
-        a.join(b, on=["band", "sig"])
+        a.join(b, on=keys)
         .where(F.col("a.nid") < F.col("b.nid"))
         .select(F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"))
         .dropDuplicates(["src", "dst"])
@@ -166,19 +172,23 @@ def lsh_candidate_pairs(
     rows: int = 2,
     threshold: float = 0.6,
     hash_fn: str = "xxhash64",
+    group_col: str | None = None,
 ) -> DataFrame:
-    """(node_id, surface) → verified similar pairs (src, dst, sim), src < dst."""
-    sh = surfaces.select(
-        F.col(id_col).alias("nid"),
-        char_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).where(F.size("shingles") > 0)
+    """(node_id, surface) → verified similar pairs (src, dst, sim), src < dst.
+    group_col (e.g. the entity type) scopes pairing: candidates never cross
+    groups."""
+    cols = [F.col(id_col).alias("nid"),
+            char_shingles(F.col(text_col), shingle_n).alias("shingles")]
+    if group_col:
+        cols.append(F.col(group_col).alias(group_col))
+    sh = surfaces.select(*cols).where(F.size("shingles") > 0)
     # localCheckpoint = optimizer barrier: without it the MinHash signature
     # subtree is re-inlined (CollapseProject) and recomputed once per band
     # AND once per self-join side
     sig_df = sh.withColumn(
         "minhash", minhash_signature(F.col("shingles"), bands * rows, hash_fn)
     ).localCheckpoint()
-    return (banded_candidate_pairs(sig_df, bands, rows, hash_fn)
+    return (banded_candidate_pairs(sig_df, bands, rows, hash_fn, group_col=group_col)
             .where(F.col("sim") >= threshold))
 
 
@@ -270,9 +280,10 @@ def canonicalize_surfaces(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """distinct (type, surface) → (type, surface, node_id, canonical_id,
-    canonical_surface). Linking never crosses entity types (node ids are
-    hashed over (type, surface)). hash_fn='md5' makes node ids and MinHash
-    cross-engine reproducible (see minhash_signature)."""
+    canonical_surface). Linking never crosses entity types: the LSH band
+    join is scoped by type (group_col), so a PRODUCT surface cannot merge
+    with a similarly-spelled LOC surface. hash_fn='md5' makes node ids and
+    MinHash cross-engine reproducible (see minhash_signature)."""
     if hash_fn == "md5":
         node_id = F.conv(F.substring(
             F.md5(F.concat(F.col(type_col), F.lit("\x1f"), F.col(text_col))), 1, 15,
@@ -288,7 +299,7 @@ def canonicalize_surfaces(
     pairs = lsh_candidate_pairs(
         nodes, id_col="node_id", text_col="surface",
         shingle_n=shingle_n, bands=bands, rows=rows, threshold=threshold,
-        hash_fn=hash_fn,
+        hash_fn=hash_fn, group_col="type",
     )
     comp = connected_components(pairs.select("src", "dst"))
 

@@ -124,14 +124,18 @@ def knn_lsh(
     skewed buckets are split by AQE."""
     planes = _planes(n_bands * bits_per_band, dim, seed, plane_fn)
 
-    def with_bands(df: DataFrame, idn: str) -> DataFrame:
+    def signed(df: DataFrame, idn: str) -> DataFrame:
         # full signature computed ONCE per row, then materialized
         # (localCheckpoint = optimizer barrier, same discipline as
         # linking.lsh_candidate_pairs) so the per-band substring slicing
-        # cannot re-inline the 64-dot-product subtree once per band
+        # cannot re-inline the 64-dot-product subtree once per band.
+        # eager=False: the barrier materializes at first action, so merely
+        # BUILDING the plan stays side-effect free.
         sig = simhash_signature(F.col(vec_col), planes)
-        base = df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(f"{idn}_vec"),
-                         sig.alias("_sig")).localCheckpoint()
+        return df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(f"{idn}_vec"),
+                         sig.alias("_sig")).localCheckpoint(eager=False)
+
+    def with_bands(base: DataFrame, idn: str) -> DataFrame:
         bands = F.transform(
             F.sequence(F.lit(0), F.lit(n_bands - 1)),
             lambda b: F.struct(
@@ -143,8 +147,17 @@ def knn_lsh(
                    .select(idn, f"{idn}_vec", F.col("bk.band").alias("band"),
                            F.col("bk.sig").alias("sig"))
 
-    qb = with_bands(queries, "query_id")
-    cb = with_bands(corpus, "neighbor_id")
+    cbase = signed(corpus, "neighbor_id")
+    cb = with_bands(cbase, "neighbor_id")
+    if queries is corpus:
+        # self-join (embedding dedup): REUSE the corpus signatures instead of
+        # materializing the 64-dot-product pass a second time
+        qb = with_bands(
+            cbase.select(F.col("neighbor_id").alias("query_id"),
+                         F.col("neighbor_id_vec").alias("query_id_vec"), "_sig"),
+            "query_id")
+    else:
+        qb = with_bands(signed(queries, "query_id"), "query_id")
     cand = (
         qb.join(cb, on=["band", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))

@@ -58,7 +58,8 @@ def salted_collect_set(df: DataFrame, key: str, value: str,
 
 
 _SALTED_JOIN_HOWS = {"inner", "left", "leftouter", "left_outer",
-                     "left_semi", "leftsemi", "left_anti", "leftanti"}
+                     "left_semi", "leftsemi", "semi",
+                     "left_anti", "leftanti", "anti"}
 
 
 def salted_join(big: DataFrame, small: DataFrame, key: str,

@@ -545,16 +545,27 @@ def q27(spark, sf_dir):
                     F.sum(F.length("text")).alias("total_chars"))
 
 
-@_q("q28_doc_quality_scores", """
+# DuckDB twin of functions/textstats.quality_score, semantics-faithful past
+# ASCII: Java (?U)\\w ≈ RE2 [\\p{L}\\p{N}_]; alpha density counts Latin AND
+# Ethiopic (the engine's domain); whitespace tokens drop empty strings like
+# the Spark filter; rounded per-doc to 6 exactly like the Spark expression.
+_WORDS_SQL = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+_QUALITY_SQL = f"""round(
+    0.3 * (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END)
+  + 0.3 * (len(list_distinct({_WORDS_SQL}))
+           / greatest(len({_WORDS_SQL}), 1))
+  + 0.3 * least((length(regexp_replace(text, '[^A-Za-z\\x{{1200}}-\\x{{137F}}]', '', 'g'))
+                 / greatest(length(text), 1)) * 1.25, 1.0)
+  + 0.1 * (1.0 - least((length(regexp_replace(text, '[\\p{{L}}\\p{{N}}_\\s]', '', 'g'))
+                        / greatest(length(text), 1)) * 4, 1.0)), 6)"""
+
+# whitespace token count twin (ts.whitespace_token_count): empty tokens
+# filtered like the Spark expression
+_WS_TOKENS_SQL = "len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))"
+
+@_q("q28_doc_quality_scores", f"""
 WITH scored AS (
-  SELECT lang,
-         0.3 * (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END)
-       + 0.3 * (len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
-                / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1))
-       + 0.3 * least((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                      / greatest(length(text), 1)) * 1.25, 1.0)
-       + 0.1 * (1.0 - least((length(regexp_replace(text, '[\\w\\s]', '', 'g'))
-                             / greatest(length(text), 1)) * 4, 1.0)) AS q
+  SELECT lang, {_QUALITY_SQL} AS q
   FROM documents)
 SELECT lang, round(avg(q), 4) AS avg_quality, count(*) AS n
 FROM scored GROUP BY lang
@@ -751,7 +762,11 @@ def _synth(spark, n=2000):
 # notebook-03 semantics reimplemented eagerly; hashlib MinHash + union-find
 # for linking) and materialized to parquet by scripts/make_oracle_fixtures.py.
 # tests/test_kg_fixture_oracle.py keeps them current (regeneration equality).
-_FIXTURES = "/root/repo/tests/fixtures/oracle"
+import os as _os
+
+_FIXTURES = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "tests", "fixtures", "oracle")
 
 
 @_q("q32_kg_triples_profile", f"""
@@ -808,14 +823,16 @@ def q34(spark, sf_dir):
 
 
 @_q("q35_multimodal_features", """
--- twin of the deterministic stub codec (operators/multimodal.py
--- _decode_image_stub): payload = utf-8 bytes of text, h = sha256(payload),
--- width = 64 + h[0] % 192, height = 64 + h[1] % 192. DuckDB's sha256()
--- hashes the VARCHAR's utf-8 bytes — identical to hashlib on the payload.
+-- twin of the deterministic fallback codec (operators/multimodal.py
+-- _decode_image_stub): payload = utf-8 bytes of 'raw:'||text (the prefix
+-- guarantees the payload can never sniff as BMP/PGM/PPM and take the REAL
+-- decode path), h = sha256(payload), width = 64 + h[0] % 192,
+-- height = 64 + h[1] % 192. DuckDB's sha256() hashes the VARCHAR's utf-8
+-- bytes — identical to hashlib on the payload.
 WITH hashed AS (
-  SELECT sha256(text) AS sha,
-         CAST('0x' || substr(sha256(text), 1, 2) AS UBIGINT) AS b0,
-         CAST('0x' || substr(sha256(text), 3, 2) AS UBIGINT) AS b1
+  SELECT sha256('raw:' || text) AS sha,
+         CAST('0x' || substr(sha256('raw:' || text), 1, 2) AS UBIGINT) AS b0,
+         CAST('0x' || substr(sha256('raw:' || text), 3, 2) AS UBIGINT) AS b1
   FROM documents)
 SELECT count(*) AS n_images,
        round(avg(64 + b0 % 192), 6) AS avg_width,
@@ -833,7 +850,10 @@ def q35(spark, sf_dir):
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
         F.lit("image/fake").alias("mime"),
-        F.encode("text", "utf-8").alias("payload"),
+        # 'raw:' prefix: never sniffs as a decodable format, so the
+        # deterministic fallback path (the one the SQL twin models) is
+        # guaranteed for every document
+        F.encode(F.concat(F.lit("raw:"), F.col("text")), "utf-8").alias("payload"),
         F.create_map().cast("map<string,string>").alias("meta"),
     )
     feats = extract_image_features(media)
@@ -845,7 +865,7 @@ def q35(spark, sf_dir):
     )
 
 
-@_q("q36_curation_core", """
+@_q("q36_curation_core", f"""
 WITH pool AS (
   SELECT doc_id, text, lang, source FROM documents
   UNION ALL
@@ -858,18 +878,12 @@ deduped AS (
 ),
 scored AS (
   SELECT lang,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-         0.3 * (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END)
-       + 0.3 * (len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
-                / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1))
-       + 0.3 * least((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                      / greatest(length(text), 1)) * 1.25, 1.0)
-       + 0.1 * (1.0 - least((length(regexp_replace(text, '[\\w\\s]', '', 'g'))
-                             / greatest(length(text), 1)) * 4, 1.0)) AS q
+         {_WS_TOKENS_SQL} AS n_tokens,
+         {_QUALITY_SQL} AS q
   FROM deduped)
 SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM scored
-WHERE round(q, 6) >= 0.3 AND n_tokens BETWEEN 5 AND 1000
+WHERE q >= 0.3 AND n_tokens BETWEEN 5 AND 1000
 GROUP BY lang
 """)
 def q36(spark, sf_dir):
@@ -892,23 +906,13 @@ def q36(spark, sf_dir):
                                  F.sum("n_tokens").alias("total_tokens")))
 
 
-# DuckDB twin of functions/textstats.quality_score (rounded to 6 like the
-# Spark expression itself — the per-doc round must match before averaging)
-_QUALITY_SQL = """round(
-    0.3 * (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END)
-  + 0.3 * (len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
-           / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1))
-  + 0.3 * least((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                 / greatest(length(text), 1)) * 1.25, 1.0)
-  + 0.1 * (1.0 - least((length(regexp_replace(text, '[\\w\\s]', '', 'g'))
-                        / greatest(length(text), 1)) * 4, 1.0)), 6)"""
 
 
 @_q("q38_token_budget", f"""
 WITH scored AS (
   SELECT source,
-         len(string_split_regex(trim(text), '\\s+')) AS ws,
-         len(regexp_extract_all(text, '[\\w]+|[^\\w\\s]')) AS bpe,
+         {_WS_TOKENS_SQL} AS ws,
+         len(regexp_extract_all(text, '[\\p{{L}}\\p{{N}}_]+|[^\\p{{L}}\\p{{N}}_\\s]')) AS bpe,
          {_QUALITY_SQL} AS q
   FROM documents)
 SELECT source, count(*) AS n_docs,
@@ -1278,7 +1282,7 @@ def q45(spark, sf_dir):
     return span_prf(pred, gold).orderBy("etype")
 
 
-@_q("q37_curation_audit", """
+@_q("q37_curation_audit", f"""
 -- full independent twin of curate(): exact dedup → md5-MinHash-LSH near-dup
 -- pairs (threshold 0.8) → connected components (recursive-CTE transitive
 -- closure; tractable because the near-dup graph is sparse) → quality/length
@@ -1343,14 +1347,8 @@ dedup_kept AS (
   WHERE r.mn IS NULL OR r.mn > k.doc_id),
 scored AS (
   SELECT doc_id, source,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-         0.3 * (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END)
-       + 0.3 * (len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
-                / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1))
-       + 0.3 * least((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                      / greatest(length(text), 1)) * 1.25, 1.0)
-       + 0.1 * (1.0 - least((length(regexp_replace(text, '[\\w\\s]', '', 'g'))
-                             / greatest(length(text), 1)) * 4, 1.0)) AS q
+         {_WS_TOKENS_SQL} AS n_tokens,
+         {_QUALITY_SQL} AS q
   FROM dedup_kept),
 filtered AS (
   SELECT * FROM scored WHERE q >= 0.3 AND n_tokens BETWEEN 5 AND 100000),

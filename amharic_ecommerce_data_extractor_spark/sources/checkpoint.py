@@ -153,6 +153,16 @@ def chunked_stage(
             json.dump(manifest, f)
     fmt = fmt or checkpoint_format()
     if CHUNK_COL in source.columns:
+        # guard against a committed _chunk domain wider than this loop: a
+        # source bucketed 0..7 consumed with n_chunks=4 would silently drop
+        # buckets 4..7 (partition-column-only scan — cheap, values come from
+        # the hive directory names)
+        max_chunk = source.agg(F.max(CHUNK_COL)).collect()[0][0]
+        if max_chunk is not None and max_chunk >= n_chunks:
+            raise ValueError(
+                f"chunked_stage: source carries {CHUNK_COL} up to {max_chunk} "
+                f"but n_chunks={n_chunks} would process only 0..{n_chunks - 1}; "
+                f"pass the n_chunks the source was bucketed with")
         chunk_key = F.col(CHUNK_COL)
     else:
         chunk_key = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_chunks))

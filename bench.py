@@ -202,8 +202,11 @@ def run_scaling(sf_dir: str, levels=(2, 8), messages: int | None = None,
             # local[2] run cannot silently borrow the other 30 host cores —
             # the faithful emulation of an N-core executor. Without this the
             # low level over-performs and the ratio understates true
-            # executor scaling.
-            taskset = ["taskset", "-c", f"0-{cpus - 1}"] if _has_taskset() else []
+            # executor scaling. Cpu ids come from the ALLOWED cpuset (a
+            # container may not own cpu 0).
+            allowed = sorted(os.sched_getaffinity(0))
+            pin = ",".join(str(c) for c in allowed[:cpus])
+            taskset = ["taskset", "-c", pin] if _has_taskset() and len(allowed) >= cpus else []
             runs = []
             for i in range(repeats + 1):  # first run per level = discarded warm-up
                 env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)

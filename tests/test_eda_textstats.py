@@ -88,3 +88,40 @@ def test_with_has_media(spark):
         "media_path string, media_type string")
     got = [r["has_media"] for r in with_has_media(df).collect()]
     assert got == [False, True, True, False]
+
+
+def test_quality_twin_matches_beyond_ascii(spark):
+    """The DuckDB quality/token twins must agree with the Spark expressions
+    on Amharic, empty and whitespace-only documents — not only on the ASCII
+    sf corpora (round-2 review finding: the old twins used ASCII-only RE2
+    classes and unfiltered token splits)."""
+    import duckdb
+
+    from amharic_ecommerce_data_extractor_spark.functions import textstats as ts
+    from amharic_ecommerce_data_extractor_spark.queries import (
+        _QUALITY_SQL,
+        _WS_TOKENS_SQL,
+    )
+
+    texts = [
+        "ሰላም ውድ ደንበኞቻችን ዋጋ 500 ብር በመገናኛ ይገኛል።",
+        "mixed ጫማ shoes 1,200 birr!!! ***",
+        "",
+        "   ",
+        "plain ascii words repeated words repeated",
+        "ቦሌ መድሃኔዓለም ሞል ሁለተኛ ፎቅ ስልክ 0911234567",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: (r["q"], r["n"]) for r in df.select(
+        "doc_id", ts.quality_score(F.col("text")).alias("q"),
+        ts.whitespace_token_count(F.col("text")).alias("n")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", list(enumerate(texts)))
+    want = {r[0]: (r[1], r[2]) for r in con.execute(
+        f"SELECT doc_id, {_QUALITY_SQL} AS q, {_WS_TOKENS_SQL} AS n FROM documents").fetchall()}
+
+    for i in range(len(texts)):
+        assert got[i][1] == want[i][1], (i, texts[i], got[i], want[i])
+        assert abs(got[i][0] - want[i][0]) < 1e-9, (i, texts[i], got[i], want[i])

@@ -137,3 +137,21 @@ def test_connected_components_leaves_session_conf_untouched(spark):
     comp.collect()
     during_holder["after"] = spark.conf.get("spark.sql.shuffle.partitions")
     assert during_holder["after"] == before
+
+
+def test_canonicalization_never_crosses_entity_types(spark):
+    """Review finding (r2): near-identical surfaces of DIFFERENT types must
+    not merge — the LSH band join is scoped by type."""
+    surfaces = spark.createDataFrame(
+        [("PRODUCT", "bole shoes"), ("LOC", "bole shoe"),
+         ("PRODUCT", "bole shoe"), ("LOC", "merkato")],
+        "type string, surface string")
+    canon = canonicalize_surfaces(surfaces, threshold=0.5)
+    rows = {(r["type"], r["surface"]): r for r in canon.collect()}
+    # the two PRODUCT variants merge...
+    assert rows[("PRODUCT", "bole shoes")]["canonical_id"] == \
+           rows[("PRODUCT", "bole shoe")]["canonical_id"]
+    # ...but the LOC with the same spelling keeps its own canonical identity
+    assert rows[("LOC", "bole shoe")]["canonical_id"] != \
+           rows[("PRODUCT", "bole shoe")]["canonical_id"]
+    assert rows[("LOC", "bole shoe")]["canonical_surface"] == "bole shoe"
