@@ -253,7 +253,10 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         nxt = _small_star(_large_star(cur))
         if small:
             nxt = nxt.coalesce(8)
-        cur = nxt.localCheckpoint()
+        # lazy checkpoint: the signature action right below materializes it,
+        # so each iteration costs ONE job (not checkpoint-job + agg-job);
+        # lineage is still truncated for the next round
+        cur = nxt.localCheckpoint(eager=False)
         sig = _signature(cur)
         if sig == prev_sig:
             break
