@@ -60,10 +60,14 @@ def minhash_duplicate_pairs(
     rows: int = 2,
     threshold: float = 0.7,
     hash_fn: str = "xxhash64",
+    pair_mode: str = "all",
 ) -> DataFrame:
     """Verified near-duplicate pairs (src, dst, jaccard), src < dst.
     Band self-join carries ids only (see linking.banded_candidate_pairs);
-    hash_fn='md5' is the cross-engine-verifiable variant."""
+    hash_fn='md5' is the cross-engine-verifiable variant. pair_mode='star'
+    emits a per-bucket spanning star instead of the full clique — O(bucket)
+    edges, the CC-consumer setting for corpora with huge duplicate clusters
+    (see banded_candidate_pairs)."""
     sh = df.select(
         F.col(id_col).alias("nid"),
         word_shingles(F.col(text_col), shingle_words).alias("shingles"),
@@ -73,7 +77,7 @@ def minhash_duplicate_pairs(
     sig_df = sh.withColumn(
         "minhash", minhash_signature(F.col("shingles"), bands * rows, hash_fn)
     ).localCheckpoint()
-    return (banded_candidate_pairs(sig_df, bands, rows, hash_fn)
+    return (banded_candidate_pairs(sig_df, bands, rows, hash_fn, pair_mode=pair_mode)
             .where(F.col("sim") >= threshold)
             .withColumnRenamed("sim", "jaccard"))
 
@@ -185,16 +189,22 @@ def embedding_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
 
 
 def dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-          threshold: float = 0.7, hash_fn: str = "xxhash64") -> DataFrame:
+          threshold: float = 0.7, hash_fn: str = "xxhash64",
+          pair_mode: str = "all") -> DataFrame:
     """End-to-end dedup: exact first (cheap hash shuffle), then MinHash
-    near-dup components; keeps the lowest id per component."""
+    near-dup components; keeps the lowest id per component. pair_mode='star'
+    bounds the candidate-edge count linearly in bucket sizes — the setting
+    for corpora with massive near-duplicate clusters (the CC result is
+    identical for exact-duplicate clusters; see banded_candidate_pairs for
+    the verification-recall tradeoff on chains)."""
     hashed = df.withColumn("_fp", F.sha2(F.col(text_col), 256))
     w = Window.partitionBy("_fp").orderBy(F.col(id_col))
     exact_kept = (hashed.withColumn("_rn", F.row_number().over(w))
                   .where(F.col("_rn") == 1).drop("_rn", "_fp"))
 
     pairs = minhash_duplicate_pairs(exact_kept, id_col=id_col, text_col=text_col,
-                                    threshold=threshold, hash_fn=hash_fn)
+                                    threshold=threshold, hash_fn=hash_fn,
+                                    pair_mode=pair_mode)
     comp = connected_components(pairs.select("src", "dst"))
     joined = exact_kept.join(comp, exact_kept[id_col] == comp.node, "left")
     keep = F.coalesce(F.col("component"), F.col(id_col))

@@ -126,7 +126,8 @@ def jaccard(a, b):
 
 def banded_candidate_pairs(sig_df: DataFrame, bands: int, rows: int,
                            hash_fn: str = "xxhash64",
-                           group_col: str | None = None) -> DataFrame:
+                           group_col: str | None = None,
+                           pair_mode: str = "all") -> DataFrame:
     """(nid, shingles, minhash[, group]) → verified (src, dst, sim), src < dst.
 
     Scale-critical shape: the band self-join carries ONLY (nid, band, sig) —
@@ -139,21 +140,45 @@ def banded_candidate_pairs(sig_df: DataFrame, bands: int, rows: int,
 
     group_col: when given, the band join also matches on it — pairs never
     cross groups (entity linking uses the entity type here, so a PRODUCT
-    surface can never link to a similarly-spelled LOC surface)."""
+    surface can never link to a similarly-spelled LOC surface).
+
+    pair_mode:
+    * ``all`` (default) — every colliding pair, O(bucket²) per LSH bucket:
+      the exact candidate set, right for pair-listing operators.
+    * ``star`` — per bucket, edges (bucket-min ↔ member) only: O(bucket)
+      edges. For CONNECTED-COMPONENTS consumers (dedup) this spans every
+      bucket exactly like the full clique does; a pathological cluster of
+      1M identical documents emits 10⁶ edges instead of 5·10¹¹. Tradeoff:
+      the exact-similarity verify sees only star edges, so a component can
+      fragment when the bucket-min is below threshold to a member that IS
+      above threshold to some other member (verification recall, not
+      correctness of emitted pairs).
+    """
     keys = ["band", "sig"] + ([group_col] if group_col else [])
     cols = ["nid"] + ([group_col] if group_col else [])
     banded = sig_df.select(
         *cols, F.explode(band_keys(F.col("minhash"), bands, rows, hash_fn)).alias("bk"),
     ).select(*cols, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(b, on=keys)
-        .where(F.col("a.nid") < F.col("b.nid"))
-        .select(F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"))
-        .dropDuplicates(["src", "dst"])
-    )
+    if pair_mode == "star":
+        mins = banded.groupBy(*keys).agg(F.min("nid").alias("src"))
+        cand = (
+            banded.join(mins, on=keys)
+            .where(F.col("nid") != F.col("src"))
+            .select("src", F.col("nid").alias("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+    elif pair_mode == "all":
+        a = banded.alias("a")
+        b = banded.alias("b")
+        cand = (
+            a.join(b, on=keys)
+            .where(F.col("a.nid") < F.col("b.nid"))
+            .select(F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+    else:
+        raise ValueError(f"pair_mode must be 'all' or 'star', got {pair_mode!r}")
     sh = sig_df.select("nid", "shingles")
     pairs = (
         cand.join(sh.select(F.col("nid").alias("src"), F.col("shingles").alias("sh_a")), "src")

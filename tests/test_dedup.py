@@ -80,3 +80,38 @@ def test_dedup_end_to_end(spark, docs):
     kept = sorted(r["doc_id"] for r in dd.dedup(docs, threshold=0.3).collect())
     # 0/1/2 collapse to 0; 3/4 collapse to 3; 5 stays
     assert kept == [0, 3, 5]
+
+
+def test_star_pair_mode_same_dedup_result_with_linear_edges(spark):
+    """pair_mode='star' must produce the SAME dedup() survivors as the full
+    clique for duplicate clusters, while emitting O(cluster) candidate
+    edges instead of O(cluster^2)."""
+    from amharic_ecommerce_data_extractor_spark.operators.dedup import (
+        dedup,
+        minhash_duplicate_pairs,
+    )
+
+    # 3 clusters of identical text (sizes 30, 20, 10) + 15 unique docs:
+    # near-dup pairs after exact dedup are none, so also test pre-exact pairs
+    rows = []
+    i = 0
+    for size, base in ((30, "alpha beta gamma delta epsilon"),
+                       (20, "one two three four five six"),
+                       (10, "red green blue cyan magenta")):
+        for k in range(size):
+            rows.append((i, base + ("" if k == 0 else f" tail{k % 3}")))
+            i += 1
+    for k in range(15):
+        rows.append((i, f"unique document number {k} with words {k * 7} {k * 13}"))
+        i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    all_pairs = minhash_duplicate_pairs(df, threshold=0.5)
+    star_pairs = minhash_duplicate_pairs(df, threshold=0.5, pair_mode="star")
+    n_all, n_star = all_pairs.count(), star_pairs.count()
+    assert n_star < n_all  # linear vs quadratic growth in cluster size
+
+    kept_all = sorted(r["doc_id"] for r in dedup(df, threshold=0.5).collect())
+    kept_star = sorted(r["doc_id"] for r in
+                       dedup(df, threshold=0.5, pair_mode="star").collect())
+    assert kept_all == kept_star
