@@ -121,11 +121,19 @@ def knn_lsh(
     """Approximate cosine top-k: SimHash band bucketing → equi-join on
     (band, signature) → exact cosine inside buckets → per-query top-k.
     At 100TB this replaces the cross join with a shuffle on bucket keys;
-    skewed buckets are split by AQE."""
+    skewed buckets are split by AQE.
+
+    Shuffle discipline (same invariant as ``linking.banded_candidate_pairs``):
+    the banded exchange carries IDS ONLY — vectors never ride the band
+    explode, the (band, sig) self-join, or the candidate dedup, so the bytes
+    through the candidate shuffle are independent of n_bands and of vector
+    width. The (checkpointed) id→(vector, norm) frame is re-joined ONCE per
+    side for the cosine rerank; norms are precomputed there so the rerank is
+    a single dot product per candidate pair."""
     planes = _planes(n_bands * bits_per_band, dim, seed, plane_fn)
 
     def signed(df: DataFrame, idn: str) -> DataFrame:
-        # full signature computed ONCE per row, then materialized
+        # full signature + norm computed ONCE per row, then materialized
         # (localCheckpoint = optimizer barrier, same discipline as
         # linking.lsh_candidate_pairs) so the per-band substring slicing
         # cannot re-inline the 64-dot-product subtree once per band.
@@ -133,9 +141,12 @@ def knn_lsh(
         # BUILDING the plan stays side-effect free.
         sig = simhash_signature(F.col(vec_col), planes)
         return df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(f"{idn}_vec"),
+                         _norm(F.col(vec_col)).alias(f"{idn}_norm"),
                          sig.alias("_sig")).localCheckpoint(eager=False)
 
     def with_bands(base: DataFrame, idn: str) -> DataFrame:
+        # ids-only: the exploded frame (and everything downstream until the
+        # rerank rejoin) must never reference the vector column
         bands = F.transform(
             F.sequence(F.lit(0), F.lit(n_bands - 1)),
             lambda b: F.struct(
@@ -143,8 +154,8 @@ def knn_lsh(
                 F.substring("_sig", b * bits_per_band + 1, bits_per_band).alias("sig"),
             ),
         )
-        return base.select(idn, f"{idn}_vec", F.explode(bands).alias("bk")) \
-                   .select(idn, f"{idn}_vec", F.col("bk.band").alias("band"),
+        return base.select(idn, F.explode(bands).alias("bk")) \
+                   .select(idn, F.col("bk.band").alias("band"),
                            F.col("bk.sig").alias("sig"))
 
     cbase = signed(corpus, "neighbor_id")
@@ -152,21 +163,29 @@ def knn_lsh(
     if queries is corpus:
         # self-join (embedding dedup): REUSE the corpus signatures instead of
         # materializing the 64-dot-product pass a second time
-        qb = with_bands(
-            cbase.select(F.col("neighbor_id").alias("query_id"),
-                         F.col("neighbor_id_vec").alias("query_id_vec"), "_sig"),
-            "query_id")
+        qbase = cbase.select(F.col("neighbor_id").alias("query_id"),
+                             F.col("neighbor_id_vec").alias("query_id_vec"),
+                             F.col("neighbor_id_norm").alias("query_id_norm"),
+                             "_sig")
     else:
-        qb = with_bands(signed(queries, "query_id"), "query_id")
+        qbase = signed(queries, "query_id")
+    qb = with_bands(qbase, "query_id")
     cand = (
         qb.join(cb, on=["band", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "query_id_vec", "neighbor_id_vec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id", "neighbor_id",
-        cosine_expr(F.col("query_id_vec"), F.col("neighbor_id_vec")).alias("sim"))
+    # rerank rejoin: vectors enter the plan here, AFTER candidate dedup —
+    # each side's (id, vec, norm) frame is the already-checkpointed base
+    scored = (
+        cand
+        .join(qbase.select("query_id", "query_id_vec", "query_id_norm"), "query_id")
+        .join(cbase.select("neighbor_id", "neighbor_id_vec", "neighbor_id_norm"),
+              "neighbor_id")
+        .select("query_id", "neighbor_id",
+                (_dot(F.col("query_id_vec"), F.col("neighbor_id_vec"))
+                 / (F.col("query_id_norm") * F.col("neighbor_id_norm"))).alias("sim")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)

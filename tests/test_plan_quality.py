@@ -106,6 +106,29 @@ def test_salted_topk_has_no_hot_key_window(spark):
     assert "_salt" in windows[-1]
 
 
+def test_knn_lsh_banded_exchange_is_ids_only(spark):
+    """The LSH band explode / (band, sig) self-join / candidate dedup must
+    never carry the embedding vector — vectors enter the plan only in the
+    rerank rejoin AFTER candidate dedup. Otherwise every vector is replicated
+    ×n_bands on both sides of the band join (the round-2 anti-pattern)."""
+    from amharic_ecommerce_data_extractor_spark.operators.similarity import knn_lsh
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13) for d in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    df = knn_lsh(emb, emb, k=3, dim=8, n_bands=4, bits_per_band=4)
+    plan = _optimized(df)
+    # the Generate (explode) nodes list the columns retained alongside the
+    # exploded bands — ids only, no vector/norm ride-along
+    gen_lines = [ln for ln in plan.splitlines() if "explode" in ln]
+    assert gen_lines, plan
+    assert all("_vec" not in ln and "_norm" not in ln for ln in gen_lines), gen_lines
+    # candidate dedup groups on the two ids only
+    dedup_lines = [ln for ln in plan.splitlines()
+                   if "Aggregate" in ln and "query_id" in ln and "neighbor_id" in ln]
+    assert dedup_lines and all("_vec" not in ln for ln in dedup_lines), dedup_lines
+
+
 def test_knn_ivf_join_is_equi_on_cell(spark):
     """IVF probe join must be an equi join on the cell id — never a cross
     join (that is the whole point of the coarse quantizer)."""
