@@ -29,17 +29,22 @@ def curate(
     per_source_cap: int | None = None,
     source_col: str = "source",
     hash_fn: str = "xxhash64",
+    pair_mode: str = "star",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (curated_docs, audit). audit: one row per stage with rows
     surviving — the per-stage lineage a data steward reads.
     hash_fn='md5' makes the near-dup stage cross-engine reproducible
-    (see linking.minhash_signature)."""
+    (see linking.minhash_signature). pair_mode='star' (default) keeps the
+    near-dup candidate-edge count linear in duplicate-cluster size — the
+    100 TB-safe setting for the CC consumer (see dedup.dedup); 'all' trades
+    O(bucket²) edges for full verification recall on similarity chains."""
     # each stage is persisted before the audit count — otherwise every
     # count() action recomputes the whole upstream chain (incl. MinHash+CC)
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
 
     deduped = dedup(docs, id_col=id_col, text_col=text_col,
-                    threshold=near_dup_threshold, hash_fn=hash_fn).persist()
+                    threshold=near_dup_threshold, hash_fn=hash_fn,
+                    pair_mode=pair_mode).persist()
     stages.append(("dedup", deduped))
 
     scored = deduped.withColumn("quality", ts.quality_score(F.col(text_col))) \

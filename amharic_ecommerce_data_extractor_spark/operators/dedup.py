@@ -190,13 +190,21 @@ def embedding_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
 
 def dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
           threshold: float = 0.7, hash_fn: str = "xxhash64",
-          pair_mode: str = "all") -> DataFrame:
+          pair_mode: str = "star") -> DataFrame:
     """End-to-end dedup: exact first (cheap hash shuffle), then MinHash
-    near-dup components; keeps the lowest id per component. pair_mode='star'
-    bounds the candidate-edge count linearly in bucket sizes — the setting
-    for corpora with massive near-duplicate clusters (the CC result is
-    identical for exact-duplicate clusters; see banded_candidate_pairs for
-    the verification-recall tradeoff on chains)."""
+    near-dup components; keeps the lowest id per component.
+
+    pair_mode defaults to 'star' here (unlike the pair-LISTING operators,
+    which default to 'all' because the exact pair set IS their answer): the
+    connected-components consumer only needs a spanning set of edges per LSH
+    bucket, and 'star' bounds the candidate-edge count LINEARLY in bucket
+    size — a pathological cluster of 1M near-identical documents emits 10⁶
+    candidate edges instead of the 5·10¹¹ a full per-bucket clique would.
+    Tradeoff (see banded_candidate_pairs): the Jaccard verify sees only star
+    edges, so a component can fragment when the bucket-min is sub-threshold
+    to a member that is supra-threshold to another member; pass
+    pair_mode='all' when that verification recall matters more than the
+    worst-case edge count."""
     hashed = df.withColumn("_fp", F.sha2(F.col(text_col), 256))
     w = Window.partitionBy("_fp").orderBy(F.col(id_col))
     exact_kept = (hashed.withColumn("_rn", F.row_number().over(w))

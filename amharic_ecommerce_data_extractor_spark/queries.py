@@ -1321,9 +1321,13 @@ banded AS (
   FROM (SELECT doc_id, seed, mh, CAST(seed // 2 AS INT) AS band FROM minhash)
   GROUP BY doc_id, band),
 cand AS (
-  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
-  WHERE a.doc_id < b.doc_id),
+  -- star mode (the CC-consuming dedup default): per (band, sig) bucket the
+  -- candidate edges run bucket-min -> member only — linear in bucket size,
+  -- mirroring banded_candidate_pairs(pair_mode='star')
+  SELECT DISTINCT hub AS src, doc_id AS dst FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY band, sig) AS hub
+    FROM banded)
+  WHERE doc_id <> hub),
 verified AS (
   SELECT src, dst FROM (
     SELECT src, dst,

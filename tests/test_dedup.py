@@ -111,7 +111,34 @@ def test_star_pair_mode_same_dedup_result_with_linear_edges(spark):
     n_all, n_star = all_pairs.count(), star_pairs.count()
     assert n_star < n_all  # linear vs quadratic growth in cluster size
 
-    kept_all = sorted(r["doc_id"] for r in dedup(df, threshold=0.5).collect())
+    kept_all = sorted(r["doc_id"] for r in
+                      dedup(df, threshold=0.5, pair_mode="all").collect())
     kept_star = sorted(r["doc_id"] for r in
                        dedup(df, threshold=0.5, pair_mode="star").collect())
     assert kept_all == kept_star
+    # 'star' is the dedup() default (the CC consumer)
+    kept_default = sorted(r["doc_id"] for r in dedup(df, threshold=0.5).collect())
+    assert kept_default == kept_star
+
+
+def test_star_candidate_edges_linear_in_cluster_size(spark):
+    """A 10k-member duplicate cluster must emit exactly n-1 candidate edges
+    in star mode (the clique would emit ~5*10^7) — the property that keeps
+    CC-based dedup alive on corpora with mega-duplicate clusters."""
+    from pyspark.sql import functions as F
+
+    from amharic_ecommerce_data_extractor_spark.operators.linking import (
+        banded_candidate_pairs,
+        minhash_signature,
+    )
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("nid"),
+        F.array(F.lit("alpha beta gamma"), F.lit("beta gamma delta")).alias("shingles"))
+    sig_df = df.withColumn("minhash",
+                           minhash_signature(F.col("shingles"), 16)).localCheckpoint()
+    star = banded_candidate_pairs(sig_df, bands=8, rows=2, pair_mode="star")
+    assert star.count() == n - 1
+    # every edge is hub -> member with the hub the global min id here
+    assert star.agg(F.max("src")).first()[0] == 0
