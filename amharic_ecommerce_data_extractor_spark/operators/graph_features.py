@@ -23,7 +23,21 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
-def vendor_graph_features(canon_triples: DataFrame) -> DataFrame:
+def vendor_graph_features(canon_triples: DataFrame,
+                          stats_mode: str = "window") -> DataFrame:
+    """stats_mode (same values either way, different physical plan):
+
+    * ``window`` (default, fused path) — product_rank and share_of_mentions
+      via unpartitioned windows over the vendor-level table (tiny today).
+    * ``broadcast`` (staged pipeline, checkpointed input) — no
+      single-partition window anywhere, survives vendor-cardinality blow-up:
+      share denominator is an agg + crossJoin(broadcast); product_rank is
+      decomposed into a PARTITIONED within-group row_number plus a
+      broadcast-joined cumulative offset from the (small, distinct-breadth)
+      histogram — rank(v) = #vendors in strictly-greater breadth groups
+      + row_number within v's group, which equals the window dense_rank
+      because (n_products, vendor) is a unique ordering key.
+    """
     t = canon_triples
     sells = t.where(F.col("pred") == "sells")
     located = t.where(F.col("pred") == "located_in")
@@ -56,6 +70,37 @@ def vendor_graph_features(canon_triples: DataFrame) -> DataFrame:
              .join(con, "vendor", "left")
              .join(vendor_price, "vendor", "left")
              .na.fill({"n_locations": 0, "n_contacts": 0}))
+
+    out_cols = ["vendor", "n_products", "n_product_mentions", "n_locations",
+                "n_contacts", "avg_price", "median_price", "product_rank",
+                "share_of_mentions"]
+
+    if stats_mode == "broadcast":
+        feats = feats.localCheckpoint(eager=False)
+        # cumulative offset per breadth group: a broadcast theta-join over the
+        # distinct-breadth histogram (small by construction)
+        grp = feats.groupBy("n_products").agg(F.count("*").alias("_cnt"))
+        offs = (
+            grp.alias("a")
+            .join(F.broadcast(grp.select(F.col("n_products").alias("_np_b"),
+                                         F.col("_cnt").alias("_cnt_b"))),
+                  F.col("_np_b") > F.col("a.n_products"), "left")
+            .groupBy("a.n_products")
+            .agg(F.coalesce(F.sum("_cnt_b"), F.lit(0)).alias("_n_before")))
+        total = feats.agg(F.sum("n_product_mentions").alias("_total_mentions"))
+        w_in_grp = Window.partitionBy("n_products").orderBy(F.asc("vendor"))
+        return (feats
+                .join(F.broadcast(offs), "n_products")
+                .crossJoin(F.broadcast(total))
+                .withColumn("product_rank",
+                            (F.col("_n_before") + F.row_number().over(w_in_grp))
+                            .cast("int"))
+                .withColumn("share_of_mentions",
+                            F.round(F.col("n_product_mentions")
+                                    / F.col("_total_mentions"), 6))
+                .select(*out_cols))
+    if stats_mode != "window":
+        raise ValueError(f"stats_mode must be 'window' or 'broadcast', got {stats_mode!r}")
 
     w_rank = Window.orderBy(F.desc("n_products"), F.asc("vendor"))
     w_all = Window.partitionBy()

@@ -129,12 +129,17 @@ def run_pipeline(
     nodes = timed("graph_nodes", lambda: ckpt.run_stage(
         spark, workdir, "graph_nodes", lambda: graph_nodes(canon, canon_triples)))
 
-    # Stage 5: vendor scorecard + graph-derived vendor features
+    # Stage 5: vendor scorecard + graph-derived vendor features.
+    # stats_mode='broadcast': both inputs are materialized checkpoints, so
+    # there is no diamond-recompute risk and the broadcast normalization
+    # avoids the single-partition window (a straggler at high vendor
+    # cardinality)
     scorecard = timed("scorecard", lambda: ckpt.run_stage(
-        spark, workdir, "scorecard", lambda: vendor_scorecard(extracted)))
+        spark, workdir, "scorecard",
+        lambda: vendor_scorecard(extracted, stats_mode="broadcast")))
     graph_feats = timed("graph_features", lambda: ckpt.run_stage(
         spark, workdir, "graph_features",
-        lambda: vendor_graph_features(canon_triples)))
+        lambda: vendor_graph_features(canon_triples, stats_mode="broadcast")))
 
     summary = {
         "workdir": workdir,

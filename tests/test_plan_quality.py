@@ -82,6 +82,41 @@ def test_scorecard_plan_shape(spark):
     assert plan.count("Exchange SinglePartition") == 1, plan
 
 
+def test_scorecard_broadcast_stats_no_window(spark):
+    """stats_mode='broadcast' (the staged-pipeline setting) must normalize
+    with agg + crossJoin(broadcast) — no window operator at all, so no
+    single-partition WindowExec straggler at high vendor cardinality — and
+    produce EXACTLY the window-mode values."""
+    from amharic_ecommerce_data_extractor_spark.operators.scorecard import vendor_scorecard
+
+    msgs = generate_messages(spark, n_rows=200, n_vendors=8)
+    ext = extract_entities(msgs).localCheckpoint()  # staged input, no diamond
+    win = vendor_scorecard(ext).collect()
+    bc_df = vendor_scorecard(ext, stats_mode="broadcast")
+    assert "Window" not in _plan(bc_df)
+    assert "BroadcastNestedLoopJoin" in _plan(bc_df) or "BroadcastExchange" in _plan(bc_df)
+    assert bc_df.collect() == win
+
+
+def test_graph_features_broadcast_stats_partitioned_windows_only(spark):
+    """graph-features stats_mode='broadcast': the only window left is the
+    within-breadth-group row_number (partitioned by n_products); rank and
+    share values match window mode exactly."""
+    from amharic_ecommerce_data_extractor_spark.operators.graph_features import (
+        vendor_graph_features,
+    )
+    from amharic_ecommerce_data_extractor_spark.operators.triples import emit_triples
+
+    msgs = generate_messages(spark, n_rows=200, n_vendors=8)
+    triples = emit_triples(extract_entities(msgs)).localCheckpoint()
+    win = sorted(map(tuple, vendor_graph_features(triples).collect()))
+    bc_df = vendor_graph_features(triples, stats_mode="broadcast")
+    specs = [ln for ln in _optimized(bc_df).splitlines()
+             if "windowspecdefinition" in ln]
+    assert specs and all("n_products#" in ln for ln in specs), specs
+    assert sorted(map(tuple, bc_df.collect())) == win
+
+
 def test_scan_partition_sizing(spark, sf_dir):
     # files.maxPartitionBytes default keeps small sf files in few partitions;
     # the session must still give the big sf real parallelism potential
