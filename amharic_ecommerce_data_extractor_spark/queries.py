@@ -1167,6 +1167,84 @@ def q42(spark, sf_dir):
                      F.round(F.avg("ngram_jaccard"), 6).alias("avg_jaccard"))
 
 
+# ---------------------------------------------------------------------------
+# Production-hash twins (rows-only, no oracle): the md5 variants above exist
+# because DuckDB can recompute them; a production user runs xxhash64 / Gauss
+# planes (pure JVM arithmetic, no hex-string parsing). These twins make the
+# bench record what that user actually pays — same operators, same inputs,
+# production hash family — so BENCH_rN.json shows both costs side by side.
+# Not SQL-oracle-backed by design (xxhash64 is not reproducible in DuckDB);
+# each prod path's VALUES are pinned by unit tests instead
+# (tests/test_dedup.py, tests/test_similarity.py).
+# ---------------------------------------------------------------------------
+
+@_q("q29p_simhash_bucket_profile_prod")
+def q29p(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.dedup import simhash64
+
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(F.substring(simhash64(F.col("text")), 1, 8).alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("bucket")).limit(20))
+
+
+@_q("q31p_minhash_near_dup_pairs_prod")
+def q31p(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.dedup import (
+        minhash_duplicate_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionByName(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    pairs = minhash_duplicate_pairs(u, threshold=0.9)  # hash_fn default: xxhash64
+    return pairs.agg(F.count("*").alias("n_pairs"),
+                     F.round(F.avg("jaccard"), 6).alias("avg_jaccard"))
+
+
+@_q("q37p_curation_audit_prod")
+def q37p(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.curation import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    _, audit = curate(docs, min_quality=0.3, min_tokens=5, per_source_cap=100)
+    return audit
+
+
+@_q("q40p_embedding_near_dup_pairs_prod")
+def q40p(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.dedup import (
+        embedding_duplicate_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_duplicate_pairs(emb, threshold=0.9)  # plane_fn default: gauss
+    return pairs.agg(F.count("*").alias("n_pairs"),
+                     F.round(F.avg("sim"), 6).alias("avg_sim"))
+
+
+@_q("q41p_simhash_duplicate_groups_prod")
+def q41p(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.dedup import simhash_duplicates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionByName(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    groups = simhash_duplicates(u)  # hash_fn default: xxhash64
+    return groups.agg(F.count("*").alias("n_groups"),
+                      F.sum("n_docs").alias("total_docs"),
+                      F.max("n_docs").alias("max_group"))
+
+
+@_q("q42p_ngram_jaccard_pairs_prod")
+def q42p(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionByName(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    pairs = ngram_jaccard_pairs(u, n=2, threshold=0.5)  # hash_fn default: xxhash64
+    return pairs.agg(F.count("*").alias("n_pairs"),
+                     F.round(F.avg("ngram_jaccard"), 6).alias("avg_jaccard"))
+
+
 @_q("q43_salted_topk", """
 SELECT user_id, event_id, rnk FROM (
   SELECT user_id, event_id,

@@ -124,3 +124,16 @@ def test_query_matches_oracle(spark, sf_dir, ddb, name):
 def test_all_queries_have_entries():
     assert set(ORACLE_SQL) <= set(SPARK_QUERIES)
     assert len(SPARK_QUERIES) >= 20
+
+
+@pytest.mark.parametrize("name", sorted(n for n in SPARK_QUERIES
+                                        if n.endswith("_prod")))
+def test_prod_hash_twin_runs(spark, sf_dir, name):
+    """The production-hash twins (xxhash64 / Gauss planes) are rows-only by
+    design — xxhash64 is not reproducible in DuckDB — but must execute and
+    return a stable non-empty result; their kernels' values are pinned by
+    the dedup/similarity unit tests."""
+    df = SPARK_QUERIES[name](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in rows]
