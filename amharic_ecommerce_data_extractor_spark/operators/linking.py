@@ -352,20 +352,28 @@ def canonicalize_triples(triples: DataFrame, canon: DataFrame) -> DataFrame:
     on the obj of located_in; vendors/contacts/prices pass through.
 
     NO broadcast hints: the surface→canonical maps scale with the distinct
-    surface count (data-sized at 100 TB, not dimensions). Theta-free shape:
-    each rewrite is an equi join on the surface key with the pred condition
-    folded into the key side, so AQE can pick broadcast/SMJ per actual size
-    and split skewed surface keys."""
+    surface count (data-sized at 100 TB, not dimensions). The pred condition
+    is GENUINELY folded out of the joins: the triple table is split by pred
+    first (a pushdown-able filter), each slice rewrites through ONE pure
+    equi join on its surface key, and the slices union back — every triple
+    crosses exactly one join exchange instead of riding all three with pred
+    as a residual predicate, and AQE can pick broadcast/SMJ per slice and
+    split skewed surface keys."""
     prod = canon.where(F.col("type") == "PRODUCT").select(
         F.col("surface").alias("k"), F.col("canonical_surface").alias("v"))
     loc = canon.where(F.col("type") == "LOC").select(
         F.col("surface").alias("k"), F.col("canonical_surface").alias("v"))
+    out_cols = ["subj", "pred", "obj", "message_id", "confidence"]
+
+    def rewrite(df: DataFrame, key_col: str, mapping: DataFrame) -> DataFrame:
+        return (df.join(mapping, df[key_col] == mapping.k, "left")
+                .withColumn(key_col, F.coalesce("v", key_col))
+                .select(*out_cols))
 
     t = triples
-    t = (t.join(prod, (t.pred == "sells") & (t.obj == prod.k), "left")
-         .withColumn("obj", F.coalesce("v", "obj")).drop("k", "v"))
-    t = (t.join(prod, (t.pred == "priced_at") & (t.subj == prod.k), "left")
-         .withColumn("subj", F.coalesce("v", "subj")).drop("k", "v"))
-    t = (t.join(loc, (t.pred == "located_in") & (t.obj == loc.k), "left")
-         .withColumn("obj", F.coalesce("v", "obj")).drop("k", "v"))
-    return t.select("subj", "pred", "obj", "message_id", "confidence")
+    sells = rewrite(t.where(F.col("pred") == "sells"), "obj", prod)
+    priced = rewrite(t.where(F.col("pred") == "priced_at"), "subj", prod)
+    located = rewrite(t.where(F.col("pred") == "located_in"), "obj", loc)
+    rest = t.where(~F.col("pred").isin("sells", "priced_at", "located_in")) \
+            .select(*out_cols)
+    return sells.unionByName(priced).unionByName(located).unionByName(rest)

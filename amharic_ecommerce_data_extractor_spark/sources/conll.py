@@ -13,21 +13,23 @@ The reference builds nested Python lists in driver memory; here sentence
 boundaries are reconstructed distributively WITHOUT any per-line global
 window (which would serialize the whole corpus through one task):
 
-  pass 1 (stats)  per (file, scan-partition): line count + blank-line count —
-                  a tiny aggregate collected to the driver and turned into
-                  per-split line/sentence base offsets (cumulative sums in
-                  split order).
-  pass 2 (build)  per partition: local line number + local blanks-before via
-                  a window PARTITIONED by (file, pid) — parallel — then
+  pass 1 (stats)  per (file, scan-split): line count + blank-line count —
+                  a tiny aggregate turned into per-split line/sentence base
+                  offsets (cumulative sums in split order).
+  pass 2 (build)  per split: local line number + local blanks-before via
+                  a window PARTITIONED by (file, split) — parallel — then
                   global line = line_base + local, sentence key =
                   sent_base + local blanks-before. Sentences spanning a split
                   boundary share a key, so the groupBy merges them.
 
-Split-order invariant this relies on: within one file, ascending
-(spark_partition_id, monotonically_increasing_id) is ascending byte offset —
-Spark's file source enumerates a file's splits in offset order (stable
-length-sort + sequential packing). Pinned by a test that forces a multi-split
-read and compares against the single-partition parse.
+Splits are identified and ORDERED by ``input_file_block_start()`` — the
+split's actual byte offset within its file — so the "ascending split =
+ascending byte offset" invariant is explicit and version-robust (it does not
+depend on how Spark happens to enumerate or pack splits into partitions, the
+way a spark_partition_id ordering would). Within one split, ascending
+monotonically_increasing_id is read order = byte order. Pinned by a test
+that forces a multi-split read and compares against the single-partition
+parse.
 
 The only remaining ordered step is the final dense sentence renumbering —
 one window row per SENTENCE (not per line), ordered by (file, sentence key).
@@ -63,35 +65,39 @@ def read_conll(spark: SparkSession, path: str, strict: bool = True,
     blank = F.when(F.col("value") == "", 1).otherwise(0)
     raw = spark.read.text(path).select(
         F.input_file_name().alias("file"),
-        F.spark_partition_id().alias("pid"),
+        # the split's byte offset in its file: identifies the scan split AND
+        # orders splits by actual file position (version-robust, unlike
+        # relying on spark_partition_id enumeration order)
+        F.input_file_block_start().alias("boff"),
         F.monotonically_increasing_id().alias("mid"),
         F.regexp_replace("value", _STRIP, "").alias("value"),
     )
 
     # pass 1: per-(file, split) stats → base offsets via a per-file running
-    # sum over splits. Stays distributed (one row per scan split — millions
-    # of rows at petabyte scale, never a driver collect); the window
-    # partitions by file, so it parallelizes across files.
-    stats = (raw.groupBy("file", "pid")
+    # sum over splits in byte-offset order. Stays distributed (one row per
+    # scan split — millions of rows at petabyte scale, never a driver
+    # collect); the window partitions by file, so it parallelizes across
+    # files.
+    stats = (raw.groupBy("file", "boff")
              .agg(F.count("*").alias("n_lines"), F.sum(blank).alias("n_blanks")))
-    w_prev = (Window.partitionBy("file").orderBy("pid")
+    w_prev = (Window.partitionBy("file").orderBy("boff")
               .rowsBetween(Window.unboundedPreceding, -1))
     off_df = stats.select(
-        "file", "pid",
+        "file", "boff",
         F.coalesce(F.sum("n_lines").over(w_prev), F.lit(0)).alias("line_base"),
         F.coalesce(F.sum("n_blanks").over(w_prev), F.lit(0)).alias("sent_base"),
     )
 
-    # pass 2: per-partition local positions (window partitioned by split —
+    # pass 2: per-split local positions (window partitioned by split —
     # parallel), then global positions via the broadcast offsets
-    wloc = Window.partitionBy("file", "pid").orderBy("mid")
+    wloc = Window.partitionBy("file", "boff").orderBy("mid")
     loc = raw.select(
-        "file", "pid", "value",
+        "file", "boff", "value",
         (F.row_number().over(wloc) - 1).alias("local_line"),
         (F.sum(blank).over(wloc) - blank).alias("blanks_before"),
     )
     lines = (
-        loc.join(F.broadcast(off_df), ["file", "pid"])
+        loc.join(F.broadcast(off_df), ["file", "boff"])
         .select(
             "file", "value",
             (F.col("line_base") + F.col("local_line")).alias("line_no"),

@@ -139,7 +139,8 @@ def test_multisplit_read_matches_single_partition(spark, tmp_path):
     p = tmp_path / "big.conll"
     p.write_text(big, encoding="utf-8")
 
-    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    before_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    before_ocb = spark.conf.get("spark.sql.files.openCostInBytes")
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
         spark.conf.set("spark.sql.files.openCostInBytes", "0")
@@ -147,8 +148,8 @@ def test_multisplit_read_matches_single_partition(spark, tmp_path):
         assert many.rdd.getNumPartitions() >= 1
         got = [(r["tokens"], r["labels"]) for r in many.orderBy("sentence_id").collect()]
     finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", before)
-    spark.conf.set("spark.sql.files.openCostInBytes", "1048576")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", before_ocb)
     want = [( [f"tok{s}_{i}" for i in range(len(sent.splitlines()))],
               ["B-PRODUCT"] * len(sent.splitlines()) )
             for s, sent in enumerate(sents)]
