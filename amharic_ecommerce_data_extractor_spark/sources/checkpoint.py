@@ -18,6 +18,38 @@ chunks (per-partition resume within a stage).
 The reference has no counterpart (every stage re-reads CSV and recomputes,
 ``run_pipeline.py:89,217``); this is the distributed-reliability layer the
 north rule mandates.
+
+The format a stage was WRITTEN with is committed in its ``_STAGE_DONE``
+marker (and in ``_CHUNK_MANIFEST`` for chunked stages); resume reads hard-
+fail on a mismatch with the requested/ambient format, so flipping
+``SPARK_GRAFT_CHECKPOINT_FORMAT`` mid-run can never read a parquet
+checkpoint with the Iceberg reader or vice versa.
+
+Iceberg production recipe (the north rule's table format; the sandbox has no
+runtime jar, so 'parquet' is the tested default — the dispatch seam is
+``fmt``/``SPARK_GRAFT_CHECKPOINT_FORMAT``):
+
+* jars: add ``org.apache.iceberg:iceberg-spark-runtime-<spark_ver>_<scala_ver>``
+  (e.g. ``iceberg-spark-runtime-3.5_2.12``) via ``--packages`` or the
+  cluster image.
+* session confs (catalog named ``kg`` here)::
+
+      spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions
+      spark.sql.catalog.kg=org.apache.iceberg.spark.SparkCatalog
+      spark.sql.catalog.kg.type=hadoop          # or hive / rest / glue
+      spark.sql.catalog.kg.warehouse=s3a://<bucket>/<warehouse-path>
+
+* run with ``SPARK_GRAFT_CHECKPOINT_FORMAT=iceberg``; ``write_stage`` then
+  issues ``df.write.format('iceberg')...save(<path>)``. With a catalog,
+  prefer table identifiers (``kg.db.stage_extract``) over raw paths by
+  passing ``fmt='iceberg'`` and a catalog-qualified ``workdir`` naming
+  convention.
+* partition spec: ``partition_by=['_chunk']`` flows through unchanged —
+  Iceberg turns it into an identity partition field; add hidden partitioning
+  (``days(ts)``, ``bucket(N, key)``) with ALTER TABLE after first write.
+* Iceberg's snapshot commit replaces the marker's atomicity role (readers
+  never see partial data), but the ``_STAGE_DONE`` marker remains the
+  RESUME signal and records rows/wall-time/format either way.
 """
 
 from __future__ import annotations
@@ -85,7 +117,7 @@ def write_stage(df: DataFrame, stage_dir: str, stage: str,
     n_rows = int(spark.read.parquet(os.path.join(stage_dir, "_lineage"))
                  .agg(F.sum("n_rows")).collect()[0][0] or 0)
     with open(_marker_path(stage_dir), "w", encoding="utf-8") as f:
-        json.dump({"stage": stage, "rows": n_rows,
+        json.dump({"stage": stage, "rows": n_rows, "fmt": fmt,
                    "seconds": round(time.perf_counter() - t0, 3)}, f)
 
 
@@ -93,6 +125,32 @@ def checkpoint_format() -> str:
     """Stage-sink format: 'parquet' (sandbox default) or e.g. 'iceberg' via
     SPARK_GRAFT_CHECKPOINT_FORMAT (cluster with the runtime jar + catalog)."""
     return os.environ.get("SPARK_GRAFT_CHECKPOINT_FORMAT", "parquet")
+
+
+def committed_format(stage_dir: str) -> str | None:
+    """The format a completed stage was actually written with (from its
+    _STAGE_DONE marker); None if the stage is incomplete or the marker
+    predates format recording."""
+    if not stage_done(stage_dir):
+        return None
+    with open(_marker_path(stage_dir), encoding="utf-8") as f:
+        return json.load(f).get("fmt")
+
+
+def _resolve_resume_format(stage_dir: str, fmt: str) -> str:
+    """Resume-format guard: a checkpoint written as parquet must never be
+    read with the Iceberg reader (or vice versa) just because
+    SPARK_GRAFT_CHECKPOINT_FORMAT changed between runs — that is a silent
+    wrong-reader read. Hard-fails on mismatch, like the n_chunks guard."""
+    committed = committed_format(stage_dir)
+    if committed is not None and committed != fmt:
+        raise ValueError(
+            f"checkpoint format mismatch at {stage_dir}: stage was committed "
+            f"with fmt={committed!r} but fmt={fmt!r} was requested (is "
+            f"SPARK_GRAFT_CHECKPOINT_FORMAT different from the writing "
+            f"run's?); resume with the committed format or delete the stage "
+            f"dir to rewrite it")
+    return committed or fmt
 
 
 def run_stage(spark: SparkSession, workdir: str, stage: str, build,
@@ -108,6 +166,8 @@ def run_stage(spark: SparkSession, workdir: str, stage: str, build,
     if not stage_done(stage_dir):
         os.makedirs(stage_dir, exist_ok=True)
         write_stage(build(), stage_dir, stage, partition_by=partition_by, fmt=fmt)
+    else:
+        fmt = _resolve_resume_format(stage_dir, fmt)
     return spark.read.format(fmt).load(data_path)
 
 
@@ -138,8 +198,9 @@ def chunked_stage(
     only its own files, total read = one pass over the input."""
     stage_dir = os.path.join(workdir, stage)
     os.makedirs(stage_dir, exist_ok=True)
+    fmt = fmt or checkpoint_format()
     manifest_path = os.path.join(stage_dir, "_CHUNK_MANIFEST")
-    manifest = {"key_col": key_col, "n_chunks": n_chunks}
+    manifest = {"key_col": key_col, "n_chunks": n_chunks, "fmt": fmt}
     if os.path.exists(manifest_path):
         with open(manifest_path, encoding="utf-8") as f:
             committed = json.load(f)
@@ -151,7 +212,6 @@ def chunked_stage(
     else:
         with open(manifest_path, "w", encoding="utf-8") as f:
             json.dump(manifest, f)
-    fmt = fmt or checkpoint_format()
     if CHUNK_COL in source.columns:
         # guard against a committed _chunk domain wider than this loop: a
         # source bucketed 0..7 consumed with n_chunks=4 would silently drop
@@ -187,8 +247,12 @@ def verify_stage_lineage(spark: SparkSession, stage_dir: str,
     commutative, so XOR of the stored per-partition content signatures ==
     the global bit_xor over all rows, however the data is partitioned on
     re-read. Compares global row count + global content signature (+ the
-    sha256 signature when present). Returns {'ok': bool, ...evidence}."""
-    fmt = fmt or checkpoint_format()
+    sha256 signature when present). Returns {'ok': bool, ...evidence}.
+
+    The reader format comes from the stage's own _STAGE_DONE marker when
+    recorded (a verify must read with the format the stage was written in,
+    whatever the ambient env says)."""
+    fmt = committed_format(stage_dir) or fmt or checkpoint_format()
     data = spark.read.format(fmt).load(os.path.join(stage_dir, "data"))
     lin = spark.read.parquet(os.path.join(stage_dir, "_lineage"))
 

@@ -131,6 +131,70 @@ def test_chunked_source_reads_prune_partitions(spark, tmp_path):
     assert out.select(F.countDistinct("message_id")).collect()[0][0] == 1000
 
 
+def test_resume_format_mismatch_raises(spark, tmp_path):
+    """A stage committed as parquet must never be re-read with a different
+    format reader just because SPARK_GRAFT_CHECKPOINT_FORMAT changed between
+    runs — the committed format is recorded in the marker and enforced."""
+    from amharic_ecommerce_data_extractor_spark.sources import checkpoint as ckpt
+
+    src = spark.range(50).withColumnRenamed("id", "message_id")
+    ckpt.run_stage(spark, str(tmp_path), "st", lambda: src, fmt="parquet")
+    assert ckpt.committed_format(str(tmp_path / "st")) == "parquet"
+    with pytest.raises(ValueError, match="format mismatch"):
+        ckpt.run_stage(spark, str(tmp_path), "st", lambda: src, fmt="orc")
+    # resuming with the committed format still works
+    assert ckpt.run_stage(spark, str(tmp_path), "st", lambda: src,
+                          fmt="parquet").count() == 50
+
+    # chunked stages record fmt in the manifest and guard the same way
+    ckpt.chunked_stage(spark, str(tmp_path), "ch", src, lambda d: d,
+                       n_chunks=2, fmt="parquet")
+    with pytest.raises(ValueError, match="resume mismatch"):
+        ckpt.chunked_stage(spark, str(tmp_path), "ch", src, lambda d: d,
+                           n_chunks=2, fmt="orc")
+
+
+def test_chunk_marker_chaos_recomputes_only_that_chunk(spark, tmp_path):
+    """File-level chaos: deleting ONE chunk's _STAGE_DONE marker makes the
+    restart recompute exactly that chunk (others untouched), and lineage
+    re-verifies per chunk afterwards; tampering with a chunk's data is
+    caught by verify_stage_lineage."""
+    from amharic_ecommerce_data_extractor_spark.sources import checkpoint as ckpt
+
+    src = spark.range(400).select(
+        F.col("id").alias("message_id"),
+        F.concat(F.lit("m"), F.col("id")).alias("content"),
+        F.sha2(F.concat(F.lit("m"), F.col("id")), 256).alias("content_sha256"))
+    calls = {"n": 0}
+
+    def transform(df):
+        calls["n"] += 1
+        return df
+
+    wd = str(tmp_path)
+    ckpt.chunked_stage(spark, wd, "ex", src, transform, n_chunks=4)
+    assert calls["n"] == 4
+    mtimes = {c: os.path.getmtime(os.path.join(wd, "ex", f"chunk={c}", ckpt.MARKER))
+              for c in range(4)}
+
+    os.remove(os.path.join(wd, "ex", "chunk=2", ckpt.MARKER))
+    out = ckpt.chunked_stage(spark, wd, "ex", src, transform, n_chunks=4)
+    assert calls["n"] == 5, "exactly the damaged chunk recomputes"
+    assert out.count() == 400
+    for c in (0, 1, 3):
+        m = os.path.getmtime(os.path.join(wd, "ex", f"chunk={c}", ckpt.MARKER))
+        assert m == mtimes[c], f"chunk {c} was recomputed"
+    for c in range(4):
+        res = ckpt.verify_stage_lineage(spark, os.path.join(wd, "ex", f"chunk={c}"))
+        assert res["ok"], (c, res)
+
+    # tamper one chunk's data behind the checkpoint's back → caught
+    extra = src.limit(1)
+    extra.write.mode("append").parquet(os.path.join(wd, "ex", "chunk=2", "data"))
+    res = ckpt.verify_stage_lineage(spark, os.path.join(wd, "ex", "chunk=2"))
+    assert not res["ok"]
+
+
 def test_verify_stage_lineage_detects_tampering(spark, tmp_path):
     """The _lineage manifest is re-verifiable after any repartitioning:
     XOR-fold of per-partition signatures is partition-invariant. Appending
