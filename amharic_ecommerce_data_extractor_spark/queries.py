@@ -785,6 +785,47 @@ def q32(spark, sf_dir):
             .orderBy("pred"))
 
 
+@_q("q47_streaming_triples_profile", f"""
+SELECT pred, n_triples, n_subjects, n_objects
+FROM read_parquet('{_FIXTURES}/q32_kg_triples_profile.parquet')
+ORDER BY pred
+""")
+def q47(spark, sf_dir):
+    # Structured-Streaming twin of q32: the SAME seed-pinned corpus drained
+    # through readStream → streaming_triples → AvailableNow parquet sink,
+    # then profiled. Streaming and batch must agree exactly (the extraction/
+    # triple operators are stateless), so the q32 pinned fixture IS the
+    # oracle — this makes the streaming path a fully oracle-backed registry
+    # entry, not a pytest-only capability.
+    import shutil
+    import tempfile
+
+    from amharic_ecommerce_data_extractor_spark.streaming.stream import (
+        read_message_stream,
+        run_stream_once,
+        streaming_triples,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="q47_stream_")
+    try:
+        _synth(spark).write.parquet(f"{workdir}/in")
+        stream = read_message_stream(spark, f"{workdir}/in",
+                                     max_files_per_trigger=4)
+        run_stream_once(streaming_triples(stream), f"{workdir}/out",
+                        f"{workdir}/ckpt")
+        t = spark.read.parquet(f"{workdir}/out")
+        out = (t.groupBy("pred").agg(F.count("*").alias("n_triples"),
+                                     F.countDistinct("subj").alias("n_subjects"),
+                                     F.countDistinct("obj").alias("n_objects"))
+               .orderBy("pred"))
+        # 4 profile rows: materialize before the temp sink dir is removed
+        # (harness workaround, same as q46 — not the production pattern)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 @_q("q33_kg_vendor_scorecard", f"""
 SELECT vendor, total_posts, avg_views_per_post, posts_per_week,
        lending_score_0_100

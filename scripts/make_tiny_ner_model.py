@@ -7,6 +7,13 @@ the full model-backend path (load → batch inference → span emission → span
 token alignment), not label quality. Regenerate with:
 
     python scripts/make_tiny_ner_model.py
+
+``make_tiny_hf_model(out_dir)`` additionally emits a HuggingFace-format
+token-classification checkpoint (tiny random-weight BERT + WordPiece
+tokenizer, same BIO label vocabulary) for exercising the ``hf`` backend
+where ``transformers``+``torch`` are installed (reference
+``model_evaluator.py:81-142`` loads exactly this artifact shape); also
+reachable as ``python scripts/make_tiny_ner_model.py --hf <out_dir>``.
 """
 
 from __future__ import annotations
@@ -23,6 +30,42 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "tests", "fixtures", "tiny_ner_model.npz")
 
 
+def make_tiny_hf_model(out_dir: str) -> str:
+    """Emit a tiny random-weight HF token-classification checkpoint
+    (config.json + weights + WordPiece tokenizer) loadable by
+    ``transformers.pipeline('ner', model=out_dir, tokenizer=out_dir)`` —
+    the exact artifact shape the ``hf`` extraction backend consumes.
+    Requires ``transformers`` + ``torch`` (raises ImportError otherwise —
+    callers gate on availability)."""
+    import torch
+    from transformers import BertConfig, BertForTokenClassification, BertTokenizerFast
+
+    # minimal WordPiece vocab: specials + ascii letters/digits + continuations
+    vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+             + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+             + [str(d) for d in range(10)]
+             + [f"##{chr(c)}" for c in range(ord("a"), ord("z") + 1)]
+             + [f"##{d}" for d in range(10)])
+    os.makedirs(out_dir, exist_ok=True)
+    vocab_path = os.path.join(out_dir, "vocab.txt")
+    with open(vocab_path, "w", encoding="utf-8") as f:
+        f.write("\n".join(vocab) + "\n")
+
+    cfg = BertConfig(
+        vocab_size=len(vocab), hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=512,
+        id2label={i: lab for i, lab in enumerate(LABELS)},
+        label2id={lab: i for i, lab in enumerate(LABELS)},
+    )
+    torch.manual_seed(SEED)
+    model = BertForTokenClassification(cfg)
+    model.save_pretrained(out_dir)
+    BertTokenizerFast(vocab_file=vocab_path,
+                      model_max_length=512).save_pretrained(out_dir)
+    return out_dir
+
+
 def main() -> None:
     rng = np.random.RandomState(SEED)
     emb = rng.normal(0.0, 1.0, size=(V, D)).astype("float32")
@@ -36,4 +79,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--hf":
+        print(f"wrote HF checkpoint to {make_tiny_hf_model(sys.argv[2])}")
+    else:
+        main()
