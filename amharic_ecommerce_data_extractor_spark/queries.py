@@ -1069,7 +1069,10 @@ def q46(spark, sf_dir):
         queries = emb.where(F.col("vec_id") % 100 == 0)
         out = knn_ivf_indexed(spark, queries, idx, cents, k=5, nprobe=4) \
             .select("query_id", "neighbor_id", "rnk")
-        # materialize before the index dir is removed
+        # materialize the k*|Q| result rows before the temp index dir is
+        # removed — a HARNESS workaround (the query must outlive its tempdir),
+        # NOT the serving pattern: in production the index is a permanent
+        # table and knn_ivf_indexed's DataFrame is consumed lazily
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
