@@ -204,7 +204,12 @@ def chunked_stage(
     if os.path.exists(manifest_path):
         with open(manifest_path, encoding="utf-8") as f:
             committed = json.load(f)
-        if committed != manifest:
+        # manifests written before format recording carry no 'fmt' key —
+        # tolerate them (like committed_format's None), compare the rest
+        compare = dict(manifest)
+        if "fmt" not in committed:
+            compare.pop("fmt")
+        if committed != compare:
             raise ValueError(
                 f"chunked_stage resume mismatch at {stage_dir}: committed "
                 f"{committed} vs requested {manifest}; restart the stage "
@@ -251,8 +256,12 @@ def verify_stage_lineage(spark: SparkSession, stage_dir: str,
 
     The reader format comes from the stage's own _STAGE_DONE marker when
     recorded (a verify must read with the format the stage was written in,
-    whatever the ambient env says)."""
-    fmt = committed_format(stage_dir) or fmt or checkpoint_format()
+    whatever the ambient env says); an EXPLICITLY passed fmt that
+    contradicts the marker hard-fails, same contract as run_stage."""
+    if fmt is not None:
+        fmt = _resolve_resume_format(stage_dir, fmt)
+    else:
+        fmt = committed_format(stage_dir) or checkpoint_format()
     data = spark.read.format(fmt).load(os.path.join(stage_dir, "data"))
     lin = spark.read.parquet(os.path.join(stage_dir, "_lineage"))
 

@@ -81,7 +81,12 @@ def main() -> None:
 if __name__ == "__main__":
     import sys
 
-    if len(sys.argv) >= 3 and sys.argv[1] == "--hf":
+    if len(sys.argv) > 1 and sys.argv[1] == "--hf":
+        if len(sys.argv) < 3:
+            sys.exit("usage: make_tiny_ner_model.py --hf <out_dir>")
         print(f"wrote HF checkpoint to {make_tiny_hf_model(sys.argv[2])}")
+    elif len(sys.argv) > 1:
+        sys.exit(f"unknown argument {sys.argv[1]!r}; "
+                 "usage: make_tiny_ner_model.py [--hf <out_dir>]")
     else:
         main()

@@ -7,7 +7,8 @@ shipping to executors:
     python scripts/package_pyfiles.py dist/engine.zip
     spark-submit --py-files dist/engine.zip \\
         --conf spark.sql.adaptive.enabled=true \\
-        run_kg_pipeline.py --workdir s3://bucket/kg --input <iceberg/parquet>
+        scripts/run_pipeline_cluster.py --workdir s3://bucket/kg \\
+        --input <iceberg/parquet>
 
 (the module entry ``python -m amharic_ecommerce_data_extractor_spark.plans.
 pipeline`` is the local/driver-side equivalent).

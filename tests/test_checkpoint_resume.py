@@ -154,6 +154,35 @@ def test_resume_format_mismatch_raises(spark, tmp_path):
                            n_chunks=2, fmt="orc")
 
 
+def test_legacy_manifest_without_fmt_still_resumes(spark, tmp_path):
+    """A _CHUNK_MANIFEST written before format recording (no 'fmt' key) must
+    resume cleanly with identical parameters — tolerated like legacy
+    _STAGE_DONE markers — while parameter mismatches still hard-fail.
+    verify_stage_lineage honors an EXPLICIT fmt the run_stage way: a
+    contradiction with the committed marker raises."""
+    import json as _json
+
+    from amharic_ecommerce_data_extractor_spark.sources import checkpoint as ckpt
+
+    src = spark.range(80).withColumnRenamed("id", "message_id")
+    wd = str(tmp_path)
+    ckpt.chunked_stage(spark, wd, "st", src, lambda d: d, n_chunks=2)
+    # rewrite the manifest as the pre-upgrade code would have written it
+    mp = os.path.join(wd, "st", "_CHUNK_MANIFEST")
+    with open(mp, "w", encoding="utf-8") as f:
+        _json.dump({"key_col": "message_id", "n_chunks": 2}, f)
+    out = ckpt.chunked_stage(spark, wd, "st", src, lambda d: d, n_chunks=2)
+    assert out.count() == 80
+    with pytest.raises(ValueError, match="resume mismatch"):
+        ckpt.chunked_stage(spark, wd, "st", src, lambda d: d, n_chunks=4)
+
+    with pytest.raises(ValueError, match="format mismatch"):
+        ckpt.verify_stage_lineage(spark, os.path.join(wd, "st", "chunk=0"),
+                                  fmt="orc")
+    assert ckpt.verify_stage_lineage(
+        spark, os.path.join(wd, "st", "chunk=0"))["ok"]
+
+
 def test_chunk_marker_chaos_recomputes_only_that_chunk(spark, tmp_path):
     """File-level chaos: deleting ONE chunk's _STAGE_DONE marker makes the
     restart recompute exactly that chunk (others untouched), and lineage
