@@ -220,3 +220,97 @@ def dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return (joined.withColumn("_rn", F.row_number().over(w2))
             .where(F.col("_rn") == 1)
             .drop("_rn", "node", "component"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+# the MOSS local algorithm). Complements content_fingerprint (whole-doc
+# rolling-hash role, functions/textstats.py) with SUBSTRING-level
+# fingerprints: any match of length >= w + k - 1 between two documents is
+# guaranteed to share at least one selected fingerprint, and the selected
+# density is ~2/(w+1) of all k-grams.
+# ---------------------------------------------------------------------------
+
+_WINNOW_MOD = 2147483647      # hash modulus (2^31 - 1)
+_WINNOW_POS_W = 1 << 20       # position packing width (docs up to ~1M chars)
+
+
+def _kgram_hash(gram, hash_fn: str):
+    """Non-negative k-gram hash < 2^31. 'md5' is the cross-engine-verifiable
+    variant (DuckDB: CAST('0x' || substr(md5(g),1,15) AS BIGINT) % mod);
+    xxhash64 is the production path (one JVM hash per gram, no hex parse)."""
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long") % _WINNOW_MOD
+    return F.pmod(F.xxhash64(gram), F.lit(_WINNOW_MOD))
+
+
+def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 5, w: int = 8,
+                           hash_fn: str = "xxhash64") -> DataFrame:
+    """(id, pos, fp) — the winnowed fingerprint set of every document: hash
+    each character k-gram, slide a window over w consecutive k-gram hashes,
+    select each window's minimum hash taking the RIGHTMOST position on ties,
+    emit distinct (position, hash) selections.
+
+    Scale shape: one shuffle, partitioned by document id (the per-doc window
+    sort). The rightmost-min-on-ties rule is packed into a single BIGINT —
+    hash * 2^20 + (2^20 - 1 - pos) — so the frame aggregate is a plain
+    numeric MIN (whole-stage codegen), not a struct comparator or a UDF.
+    Window state is w rows. Straggler caveat: a single multi-GB document
+    serializes into one partition; chunk such documents upstream (split at
+    w+k-1 overlaps — selections are local by construction, so chunking at
+    overlap boundaries loses nothing).
+
+    Parity: reference has no substring fingerprinting (closest is the
+    whole-text dedup key, text_preprocessor.py drop_duplicates); this is
+    graft-new 100TB-pipeline capability alongside MinHash/SimHash.
+    """
+    grams = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+             .where(F.length("_t") >= k)
+             .select("id",
+                     (F.length("_t") - (k - 1)).alias("npos"),
+                     F.explode(F.sequence(F.lit(1), F.length("_t") - (k - 1))).alias("pos"),
+                     F.col("_t"))
+             .select("id", "npos", "pos",
+                     _kgram_hash(F.col("_t").substr(F.col("pos"), F.lit(k)), hash_fn)
+                     .alias("h")))
+    packed = grams.select(
+        "id", "npos", "pos",
+        (F.col("h") * _WINNOW_POS_W + (_WINNOW_POS_W - 1 - F.col("pos"))).alias("c"))
+    frame = (Window.partitionBy("id").orderBy("pos")
+             .rowsBetween(Window.currentRow, w - 1))
+    sel = (packed.withColumn("m", F.min("c").over(frame))
+           # window STARTS only: full windows 1..npos-w+1; a doc with fewer
+           # than w k-grams contributes its single (truncated) window at pos 1
+           .where(F.col("pos") <= F.greatest(F.lit(1), F.col("npos") - (w - 1)))
+           .select("id",
+                   (F.lit(_WINNOW_POS_W - 1) - F.col("m") % _WINNOW_POS_W).alias("pos"),
+                   F.expr(f"m DIV {_WINNOW_POS_W}").alias("fp"))
+           .distinct())
+    return sel
+
+
+def fingerprint_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text", k: int = 5, w: int = 8,
+                              min_shared: int = 3, max_df: int = 50,
+                              hash_fn: str = "xxhash64") -> DataFrame:
+    """(src, dst, n_shared) — document pairs sharing >= min_shared winnowed
+    fingerprints (the MOSS similarity join).
+
+    Scale discipline mirrors banded_candidate_pairs: the self-join carries
+    (fp, id) only — never text — and 'stop fingerprints' appearing in more
+    than max_df documents are dropped FIRST, so a boilerplate phrase shared
+    by 10^6 documents cannot detonate an n² bucket (same role as a df-cap in
+    an inverted index). Remaining fan-out is <= max_df² per hash."""
+    fps = (winnowing_fingerprints(df, id_col=id_col, text_col=text_col,
+                                  k=k, w=w, hash_fn=hash_fn)
+           .select("id", "fp").distinct())
+    keep = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df).select("fp"))
+    fpk = fps.join(keep, "fp")
+    a, b = fpk.alias("a"), fpk.alias("b")
+    return (a.join(b, "fp")
+            .where(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+            .agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))

@@ -1496,3 +1496,73 @@ def q37(spark, sf_dir):
     _, audit = curate(docs, min_quality=0.3, min_tokens=5, per_source_cap=100,
                       hash_fn="md5")
     return audit
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS, SIGMOD 2003) — substring-level document
+# fingerprinting: rolling k-gram hash + window-minimum selection, then the
+# fingerprint-overlap similarity join. Graft-new capability (reference's only
+# fingerprint is the whole-text dedup key). The packed-BIGINT rightmost-min
+# trick is recomputed verbatim by the DuckDB twin.
+# ---------------------------------------------------------------------------
+
+@_q("q48_winnowing_overlap_pairs", """
+WITH pool AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents),
+g AS (  -- one row per character 5-gram position; npos = n_kgrams
+  SELECT doc_id, length(text) - 4 AS npos,
+         unnest(range(1, length(text) - 3)) AS pos, text
+  FROM pool WHERE length(text) >= 5),
+h AS (  -- md5-derived 31-bit k-gram hash (cross-engine recomputable)
+  SELECT doc_id, npos, pos,
+         CAST('0x' || substr(md5(substr(text, CAST(pos AS INT), 5)), 1, 15) AS BIGINT)
+           % 2147483647 AS hv
+  FROM g),
+packed AS (  -- rightmost-min-on-ties packed into one BIGINT: h*2^20 + (2^20-1-pos)
+  SELECT doc_id, npos, pos, hv * 1048576 + (1048575 - pos) AS c FROM h),
+wmin AS (
+  SELECT doc_id, npos, pos,
+         min(c) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m
+  FROM packed),
+sel AS (  -- window starts only (full windows; short docs: the one truncated window)
+  SELECT DISTINCT doc_id, CAST(m // 1048576 AS BIGINT) AS fp
+  FROM wmin WHERE pos <= greatest(1, npos - 7)),
+keep AS (  -- drop stop-fingerprints (document frequency > 50)
+  SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 50),
+fpk AS (SELECT doc_id, fp FROM sel JOIN keep USING (fp)),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS n_shared
+  FROM fpk a JOIN fpk b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 3)
+SELECT src, dst, n_shared FROM pairs
+""")
+def q48(spark, sf_dir):
+    # hash_fn='md5' so DuckDB recomputes identical fingerprints; the packed
+    # min / window-start selection / df-cap / overlap join shapes are the
+    # production ones (only the k-gram hash family differs — see q48p)
+    from amharic_ecommerce_data_extractor_spark.operators.dedup import (
+        fingerprint_overlap_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionByName(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    return fingerprint_overlap_pairs(u, k=5, w=8, min_shared=3, max_df=50,
+                                     hash_fn="md5")
+
+
+@_q("q48p_winnowing_overlap_pairs_prod")
+def q48p(spark, sf_dir):
+    from amharic_ecommerce_data_extractor_spark.operators.dedup import (
+        fingerprint_overlap_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionByName(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    pairs = fingerprint_overlap_pairs(u, k=5, w=8, min_shared=3, max_df=50)
+    return pairs.agg(F.count("*").alias("n_pairs"),
+                     F.round(F.avg("n_shared"), 6).alias("avg_shared"))

@@ -142,3 +142,111 @@ def test_star_candidate_edges_linear_in_cluster_size(spark):
     assert star.count() == n - 1
     # every edge is hub -> member with the hub the global min id here
     assert star.agg(F.max("src")).first()[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS): parity vs an independent per-string Python
+# reference, the substring-match guarantee, and the stop-fingerprint cap.
+# ---------------------------------------------------------------------------
+
+_WMOD = 2147483647
+
+
+def _ref_winnow(text, k=5, w=8):
+    """Independent eager winnowing (Schleimer et al. 2003, Fig. 5 semantics:
+    per window of w k-gram hashes select the min, rightmost on ties)."""
+    import hashlib
+
+    n = len(text) - k + 1
+    if n < 1:
+        return set()
+    hs = [int(hashlib.md5(text[i:i + k].encode()).hexdigest()[:15], 16) % _WMOD
+          for i in range(n)]
+    sel = set()
+    for s in range(max(1, n - w + 1)):
+        window = hs[s:s + w]
+        m = min(window)
+        idx = max(i for i, v in enumerate(window) if v == m)
+        sel.add((s + idx + 1, m))  # 1-based position
+    return sel
+
+
+WINNOW_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "pack my box with five dozen liquor jugs, the quick brown fox jumps over it"),
+    (2, "ሱቅ ዋጋ 1000 ብር አዲስ አበባ ውስጥ የሚሸጥ ስልክ"),   # multi-byte chars
+    (3, "short"),                                          # fewer than w k-grams
+    (4, "abcd"),                                           # shorter than k: no grams
+    (5, "aaaaaaaaaaaaaaaaaaaa"),                           # all-tied hashes
+]
+
+
+def test_winnowing_matches_reference_implementation(spark):
+    df = spark.createDataFrame(WINNOW_DOCS, "doc_id long, text string")
+    got = {}
+    for r in dd.winnowing_fingerprints(df, hash_fn="md5").collect():
+        got.setdefault(r["id"], set()).add((r["pos"], r["fp"]))
+    for i, t in WINNOW_DOCS:
+        assert got.get(i, set()) == _ref_winnow(t), f"doc {i}"
+
+
+def test_winnowing_tie_rule_picks_rightmost(spark):
+    # all k-grams of 'aaaa...' are identical → every window's min is tied;
+    # rightmost-on-ties: window start s (1..n-w+1) selects position s+w-1,
+    # NOT a run of position-1 re-selections collapsing to one fingerprint
+    df = spark.createDataFrame([(0, "a" * 30)], "doc_id long, text string")
+    rows = dd.winnowing_fingerprints(df, k=5, w=8, hash_fn="md5").collect()
+    poss = sorted(r["pos"] for r in rows)
+    assert len(set(r["fp"] for r in rows)) == 1
+    assert poss == list(range(8, 27))  # n=26 k-grams, starts 1..19 → pos 8..26
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    # any shared substring of length >= w + k - 1 (=12) must share >= 1 fp
+    shared = "zq9xv7wkp3mt"  # 12 chars, unlikely elsewhere
+    df = spark.createDataFrame(
+        [(0, "prefix one " + shared + " tail A"),
+         (1, "completely different beginning " + shared)],
+        "doc_id long, text string")
+    fps = {}
+    for r in dd.winnowing_fingerprints(df, k=5, w=8, hash_fn="md5").collect():
+        fps.setdefault(r["id"], set()).add(r["fp"])
+    assert fps[0] & fps[1]
+
+
+def test_fingerprint_overlap_pairs_and_stop_fp_cap(spark):
+    boiler = "this exact boilerplate sentence appears in every document here"
+    rows = [(i, boiler) for i in range(10)]
+    rows += [(100, "unique pair text alpha beta gamma delta epsilon zeta"),
+             (101, "unique pair text alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # max_df=5: the 10-copy boilerplate's fingerprints are stop-fps → no
+    # pairs among docs 0-9; the 2-copy unique pair survives
+    pairs = {(r["src"], r["dst"]) for r in
+             dd.fingerprint_overlap_pairs(df, min_shared=3, max_df=5,
+                                          hash_fn="md5").collect()}
+    assert pairs == {(100, 101)}
+    # with the cap lifted the clique comes back
+    pairs_all = {(r["src"], r["dst"]) for r in
+                 dd.fingerprint_overlap_pairs(df, min_shared=3, max_df=100,
+                                              hash_fn="md5").collect()}
+    assert (0, 1) in pairs_all and (100, 101) in pairs_all
+    assert len(pairs_all) == 45 + 1
+
+
+def test_winnowing_prod_hash_same_positions_structure(spark):
+    # xxhash64 variant: same structural invariants (valid positions, density
+    # bound: at most one selection per window start)
+    df = spark.createDataFrame(WINNOW_DOCS, "doc_id long, text string")
+    rows = dd.winnowing_fingerprints(df, k=5, w=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    for i, t in WINNOW_DOCS:
+        n = len(t) - 4
+        if n < 1:
+            assert i not in by_doc
+            continue
+        sels = by_doc[i]
+        assert all(1 <= r["pos"] <= n for r in sels)
+        assert len(sels) <= max(1, n - 7)

@@ -181,3 +181,23 @@ def test_knn_ivf_join_is_equi_on_cell(spark):
     assert join_lines and all(re.search(r"\(cell#\d+ = cell#\d+\)", ln)
                               for ln in join_lines), join_lines
     assert "Join Cross" not in plan
+
+
+def test_winnowing_overlap_join_carries_no_text(spark):
+    """The fingerprint-overlap self-join must exchange (fp, id) pairs only:
+    document text stays inside the per-doc winnowing stage and never rides
+    the join or the pair-count aggregate (same id-only discipline as
+    banded_candidate_pairs / knn_lsh)."""
+    from amharic_ecommerce_data_extractor_spark.operators.dedup import (
+        fingerprint_overlap_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some shared filler text body") for i in range(20)],
+        "doc_id long, text string")
+    plan = _optimized(fingerprint_overlap_pairs(df, min_shared=1))
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines, plan
+    assert all("text" not in ln for ln in join_lines), join_lines
+    agg_lines = [ln for ln in plan.splitlines() if "Aggregate" in ln]
+    assert all("text" not in ln for ln in agg_lines), agg_lines
