@@ -252,42 +252,43 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
     select each window's minimum hash taking the RIGHTMOST position on ties,
     emit distinct (position, hash) selections.
 
-    Scale shape: one shuffle, partitioned by document id (the per-doc window
-    sort). The rightmost-min-on-ties rule is packed into a single BIGINT —
-    hash * 2^20 + (2^20 - 1 - pos) — so the frame aggregate is a plain
-    numeric MIN (whole-stage codegen), not a struct comparator or a UDF.
-    Window state is w rows. Straggler caveat: a single multi-GB document
-    serializes into one partition; chunk such documents upstream (split at
+    Scale shape: winnowing is LOCAL per document, so the whole selection runs
+    as array expressions inside one narrow projection — no k-gram explode, no
+    per-doc window shuffle, nothing leaves the scan partition until the
+    (already winnowed, ~2/(w+1)-density) selections are exploded. The
+    rightmost-min-on-ties rule is packed into a single BIGINT — hash * 2^20 +
+    (2^20 - 1 - pos) — so each window is a plain numeric array_min over a
+    w-slice, not a struct comparator or a UDF. Straggler caveat: a single
+    multi-GB document is one row; chunk such documents upstream (split at
     w+k-1 overlaps — selections are local by construction, so chunking at
     overlap boundaries loses nothing).
 
     Parity: reference has no substring fingerprinting (closest is the
     whole-text dedup key, text_preprocessor.py drop_duplicates); this is
-    graft-new 100TB-pipeline capability alongside MinHash/SimHash.
+    graft-new 100TB-pipeline capability alongside MinHash/SimHash. The
+    DuckDB twin (q48) recomputes the same selections via an independent
+    formulation (row-exploded window SQL), and tests/test_dedup.py pins the
+    per-string eager reference.
     """
-    grams = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-             .where(F.length("_t") >= k)
-             .select("id",
-                     (F.length("_t") - (k - 1)).alias("npos"),
-                     F.explode(F.sequence(F.lit(1), F.length("_t") - (k - 1))).alias("pos"),
-                     F.col("_t"))
-             .select("id", "npos", "pos",
-                     _kgram_hash(F.col("_t").substr(F.col("pos"), F.lit(k)), hash_fn)
-                     .alias("h")))
-    packed = grams.select(
-        "id", "npos", "pos",
-        (F.col("h") * _WINNOW_POS_W + (_WINNOW_POS_W - 1 - F.col("pos"))).alias("c"))
-    frame = (Window.partitionBy("id").orderBy("pos")
-             .rowsBetween(Window.currentRow, w - 1))
-    sel = (packed.withColumn("m", F.min("c").over(frame))
-           # window STARTS only: full windows 1..npos-w+1; a doc with fewer
-           # than w k-grams contributes its single (truncated) window at pos 1
-           .where(F.col("pos") <= F.greatest(F.lit(1), F.col("npos") - (w - 1)))
-           .select("id",
-                   (F.lit(_WINNOW_POS_W - 1) - F.col("m") % _WINNOW_POS_W).alias("pos"),
-                   F.expr(f"m DIV {_WINNOW_POS_W}").alias("fp"))
-           .distinct())
-    return sel
+    pw = _WINNOW_POS_W
+    base = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+            .where(F.length("_t") >= k)
+            .withColumn("npos", F.length("_t") - (k - 1)))
+    # packed[i] (0-based i, position i+1): h(kgram) * 2^20 + (2^20-1-(i+1))
+    packed = F.transform(
+        F.sequence(F.lit(1), F.col("npos")),
+        lambda p: _kgram_hash(F.col("_t").substr(p, F.lit(k)), hash_fn) * pw
+        + (F.lit(pw - 1) - p))
+    # window STARTS 1..max(1, npos-w+1); slice truncates at the array end,
+    # which is exactly the single short window of a doc with < w k-grams
+    sels = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.col("npos") - (w - 1))),
+        lambda s: F.array_min(F.slice(F.col("_packed"), s, w))))
+    return (base.withColumn("_packed", packed)
+            .select("id", F.explode(sels).alias("m"))
+            .select("id",
+                    (F.lit(pw - 1) - F.col("m") % pw).alias("pos"),
+                    F.expr(f"m DIV {pw}").alias("fp")))
 
 
 def fingerprint_overlap_pairs(df: DataFrame, id_col: str = "doc_id",

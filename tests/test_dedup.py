@@ -250,3 +250,21 @@ def test_winnowing_prod_hash_same_positions_structure(spark):
         sels = by_doc[i]
         assert all(1 <= r["pos"] <= n for r in sels)
         assert len(sels) <= max(1, n - 7)
+
+
+def test_winnowing_randomized_batch_parity(spark):
+    # 60 seeded random docs (ASCII + Ethiopic + punctuation mix, lengths
+    # 0..120) through ONE Spark job, each compared exactly to the eager
+    # reference — the fuzz complement to the fixed edge cases above
+    import random
+
+    rng = random.Random(42)
+    alphabet = "ab cde ፩፪፻ ብርዋጋ .!?,;:# @xyz0123"
+    docs = [(i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 121))))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in dd.winnowing_fingerprints(df, hash_fn="md5").collect():
+        got.setdefault(r["id"], set()).add((r["pos"], r["fp"]))
+    for i, t in docs:
+        assert got.get(i, set()) == _ref_winnow(t), f"doc {i}: {t!r}"
