@@ -246,7 +246,8 @@ def _kgram_hash(gram, hash_fn: str):
 
 def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 5, w: int = 8,
-                           hash_fn: str = "xxhash64") -> DataFrame:
+                           hash_fn: str = "xxhash64",
+                           max_chars: int | None = None) -> DataFrame:
     """(id, pos, fp) — the winnowed fingerprint set of every document: hash
     each character k-gram, slide a window over w consecutive k-gram hashes,
     select each window's minimum hash taking the RIGHTMOST position on ties,
@@ -258,10 +259,21 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
     (already winnowed, ~2/(w+1)-density) selections are exploded. The
     rightmost-min-on-ties rule is packed into a single BIGINT — hash * 2^20 +
     (2^20 - 1 - pos) — so each window is a plain numeric array_min over a
-    w-slice, not a struct comparator or a UDF. Straggler caveat: a single
-    multi-GB document is one row; chunk such documents upstream (split at
-    w+k-1 overlaps — selections are local by construction, so chunking at
-    overlap boundaries loses nothing).
+    w-slice, not a struct comparator or a UDF.
+
+    max_chars bounds the giant-document straggler: documents are split into
+    max_chars-sized chunks overlapping by w + k - 2 characters, positions
+    stay GLOBAL (the pack uses off - 1 + local pos), and the result is
+    selection-for-selection identical to the unchunked run
+    (test_winnowing_chunked_equals_unchunked). Why exact: a window at global
+    start s spans chars s .. s+w+k-2, and with that overlap every full
+    window fits wholly inside exactly one chunk's emitted start range
+    (chunk at offset o emits starts o .. o+max_chars-k-w+1; the next chunk
+    begins at o+max_chars-k-w+2 — contiguous, no gap). A non-head chunk
+    whose tail would truncate a window emits nothing for it (those windows
+    belong to the previous chunk); the single-truncated-window rule for
+    docs with < w k-grams applies only to the head chunk, which in that
+    case IS the whole document.
 
     Parity: reference has no substring fingerprinting (closest is the
     whole-text dedup key, text_preprocessor.py drop_duplicates); this is
@@ -271,30 +283,59 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
     per-string eager reference.
     """
     pw = _WINNOW_POS_W
-    base = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-            .where(F.length("_t") >= k)
-            .withColumn("npos", F.length("_t") - (k - 1)))
-    # packed[i] (0-based i, position i+1): h(kgram) * 2^20 + (2^20-1-(i+1))
+    src = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+           .where(F.length("_t") >= k))
+    if max_chars is None:
+        chunks = src.select("id", F.lit(1).alias("off"), F.col("_t").alias("_c"))
+        cross_chunk_dedup = False
+    else:
+        overlap = w + k - 2
+        step = max_chars - overlap
+        if step < 1:
+            raise ValueError(f"max_chars must exceed w + k - 2 = {overlap}")
+        chunks = (src.select(
+                      "id",
+                      F.explode(F.sequence(F.lit(1), F.length("_t"), F.lit(step)))
+                      .alias("off"),
+                      "_t")
+                  .select("id", "off",
+                          F.col("_t").substr(F.col("off"), F.lit(max_chars)).alias("_c"))
+                  .where(F.length("_c") >= k))
+        cross_chunk_dedup = True
+    # per-chunk gram count, and the last emitted window start: head chunks
+    # keep the short-doc truncated window (greatest(1, ...)); non-head
+    # chunks emit full windows only — a sub-w tail is the previous chunk's
+    # coverage, and emitting its truncated window would fabricate a window
+    # the unchunked algorithm never forms
+    chunks = chunks.withColumn("npos", F.length("_c") - (k - 1)).withColumn(
+        "last",
+        F.when(F.col("off") == 1,
+               F.greatest(F.lit(1), F.col("npos") - (w - 1)))
+        .otherwise(F.col("npos") - (w - 1)))
+    # packed[i] (0-based i, GLOBAL position off-1+i+1): h * 2^20 + (2^20-1-pos)
     packed = F.transform(
         F.sequence(F.lit(1), F.col("npos")),
-        lambda p: _kgram_hash(F.col("_t").substr(p, F.lit(k)), hash_fn) * pw
-        + (F.lit(pw - 1) - p))
-    # window STARTS 1..max(1, npos-w+1); slice truncates at the array end,
-    # which is exactly the single short window of a doc with < w k-grams
+        lambda p: _kgram_hash(F.col("_c").substr(p, F.lit(k)), hash_fn) * pw
+        + (F.lit(pw - 1) - (F.col("off") - 1 + p)))
     sels = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.greatest(F.lit(1), F.col("npos") - (w - 1))),
+        F.sequence(F.lit(1), F.col("last")),
         lambda s: F.array_min(F.slice(F.col("_packed"), s, w))))
-    return (base.withColumn("_packed", packed)
-            .select("id", F.explode(sels).alias("m"))
-            .select("id",
-                    (F.lit(pw - 1) - F.col("m") % pw).alias("pos"),
-                    F.expr(f"m DIV {pw}").alias("fp")))
+    out = (chunks.where(F.col("last") >= 1)
+           .withColumn("_packed", packed)
+           .select("id", F.explode(sels).alias("m"))
+           .select("id",
+                   (F.lit(pw - 1) - F.col("m") % pw).alias("pos"),
+                   F.expr(f"m DIV {pw}").alias("fp")))
+    # two chunks can select the same (pos, fp) through different windows
+    # near a boundary (within one chunk array_distinct already dedups)
+    return out.distinct() if cross_chunk_dedup else out
 
 
 def fingerprint_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
                               text_col: str = "text", k: int = 5, w: int = 8,
                               min_shared: int = 3, max_df: int = 50,
-                              hash_fn: str = "xxhash64") -> DataFrame:
+                              hash_fn: str = "xxhash64",
+                              max_chars: int | None = None) -> DataFrame:
     """(src, dst, n_shared) — document pairs sharing >= min_shared winnowed
     fingerprints (the MOSS similarity join).
 
@@ -304,7 +345,8 @@ def fingerprint_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
     by 10^6 documents cannot detonate an n² bucket (same role as a df-cap in
     an inverted index). Remaining fan-out is <= max_df² per hash."""
     fps = (winnowing_fingerprints(df, id_col=id_col, text_col=text_col,
-                                  k=k, w=w, hash_fn=hash_fn)
+                                  k=k, w=w, hash_fn=hash_fn,
+                                  max_chars=max_chars)
            .select("id", "fp").distinct())
     keep = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
             .where(F.col("_df") <= max_df).select("fp"))

@@ -268,3 +268,34 @@ def test_winnowing_randomized_batch_parity(spark):
         got.setdefault(r["id"], set()).add((r["pos"], r["fp"]))
     for i, t in docs:
         assert got.get(i, set()) == _ref_winnow(t), f"doc {i}: {t!r}"
+
+
+def test_winnowing_chunked_equals_unchunked(spark):
+    # the giant-doc path: max_chars chunking with w+k-2 overlap must be
+    # selection-for-selection identical to the unchunked run — including
+    # global positions, tie runs spanning chunk boundaries, and docs whose
+    # final chunk is shorter than k or shorter than w k-grams
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcde ፩፪ብር .!x"
+    docs = [(i, "".join(rng.choice(alphabet) for _ in range(n)))
+            for i, n in enumerate([0, 3, 5, 11, 12, 59, 60, 61, 62, 119, 120,
+                                   121, 180, 300, 301])]
+    docs.append((900, "a" * 200))        # ties across every boundary
+    docs.append((901, "ab" * 150))       # period-2 ties
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def collect(fps):
+        out = {}
+        for r in fps.collect():
+            out.setdefault(r["id"], set()).add((r["pos"], r["fp"]))
+        return out
+
+    plain = collect(dd.winnowing_fingerprints(df, hash_fn="md5"))
+    for mc in (12, 13, 60, 64):  # 12 = minimum legal (w + k - 1)
+        chunked = collect(dd.winnowing_fingerprints(df, hash_fn="md5",
+                                                    max_chars=mc))
+        assert chunked == plain, f"max_chars={mc}"
+    with pytest.raises(ValueError):
+        dd.winnowing_fingerprints(df, max_chars=11)
