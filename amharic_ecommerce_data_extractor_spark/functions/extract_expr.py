@@ -1,15 +1,19 @@
 """Entity extraction as PURE JVM column expressions — zero Python anywhere.
 
-This is the scale path of the extraction operator: the same semantics as
-``kernels.labeler`` (message tokenizer + BIO rule automaton + entity grouping
-+ price parsing), compiled into Spark higher-order array functions. Parity
-with the Python kernel is pinned token-for-token by tests on the full
-synthetic corpus.
+The same semantics as ``kernels.labeler`` (message tokenizer + BIO rule
+automaton + entity grouping + price parsing), compiled into Spark
+higher-order array functions. Parity with the Python kernel is pinned
+token-for-token by tests on the full synthetic corpus.
 
-Why: the Python kernel is Arrow-batched but still bound by per-core Python
-string throughput (and memory bandwidth at high parallelism); this path keeps
-the whole pipeline in Tungsten — compact UTF8 strings, no serialization —
-so extraction scales like any other codegen'd stage.
+Role (measured, round 3): this is the SEMANTICS TWIN and the
+no-Python-runtime fallback, NOT the speed path. Higher-order-function
+lambdas (transform/aggregate/filter) are interpreted per element — they sit
+outside whole-stage codegen — and at 32-way parallelism on a 500k-message
+corpus the fused extract→triples job measures ~4× SLOWER than the
+Arrow-batched pandas-UDF backend (40.6 s vs 9.8 s). The pandas ``rules``
+backend is the production default; use this path where executors cannot run
+Python workers, for cross-checking the kernel, or as the template for a
+future codegen'd native function.
 
 How the sequential automaton becomes data-parallel expressions:
 1. tokenizer: regexp_extract_all + per-token conditional sub-splitting

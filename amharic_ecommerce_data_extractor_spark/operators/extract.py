@@ -247,8 +247,16 @@ def extract_entities(
         from ..functions.textnorm import preprocess_expr
 
         out = df.withColumn("preprocessed_text", preprocess_expr(F.col(text_col)))
-        return with_entities_expr(out, clean_col="preprocessed_text",
-                                  with_contact_rule=with_contact_rule)
+        out = with_entities_expr(out, clean_col="preprocessed_text",
+                                 with_contact_rule=with_contact_rule)
+        # optimizer barrier (same discipline as similarity.knn_lsh): without
+        # it CollapseProject inlines the single-use automaton columns into
+        # every downstream consumer branch — a fused extract→triples plan
+        # re-expands 180× (measured: 48 KB analyzed → 8.8 MB optimized,
+        # 69 MiB task binary, executor OOM in task DEserialization at 32-way
+        # parallelism). eager=False: materializes per-partition at first
+        # action, MEMORY_AND_DISK, no extra job while building the plan.
+        return out.localCheckpoint(eager=False)
 
     drop = set()
     if not include_tokens:
