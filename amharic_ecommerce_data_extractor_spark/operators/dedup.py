@@ -232,7 +232,13 @@ def dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 _WINNOW_MOD = 2147483647      # hash modulus (2^31 - 1)
-_WINNOW_POS_W = 1 << 20       # position packing width (docs up to ~1M chars)
+# position packing width. 2^32 makes overflow/underflow IMPOSSIBLE rather
+# than merely unlikely: a Spark string holds < 2^31 chars, so every position
+# fits (pw-1-pos stays non-negative), and the packed maximum
+# (2^31-1)*2^32 + 2^32-1 = 2^63-1 is exactly the signed-64 ceiling — no
+# wraparound for any representable document. (A narrower width silently
+# decoded fp as hash-1 with a wrapped pos once positions crossed it.)
+_WINNOW_POS_W = 1 << 32
 
 
 def _kgram_hash(gram, hash_fn: str):
@@ -257,15 +263,21 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
     as array expressions inside one narrow projection — no k-gram explode, no
     per-doc window shuffle, nothing leaves the scan partition until the
     (already winnowed, ~2/(w+1)-density) selections are exploded. The
-    rightmost-min-on-ties rule is packed into a single BIGINT — hash * 2^20 +
-    (2^20 - 1 - pos) — so each window is a plain numeric array_min over a
+    rightmost-min-on-ties rule is packed into a single BIGINT — hash * 2^32 +
+    (2^32 - 1 - pos) — so each window is a plain numeric array_min over a
     w-slice, not a struct comparator or a UDF.
 
-    max_chars bounds the giant-document straggler: documents are split into
-    max_chars-sized chunks overlapping by w + k - 2 characters, positions
-    stay GLOBAL (the pack uses off - 1 + local pos), and the result is
+    max_chars bounds BOTH the giant-document straggler AND the per-gram
+    substring cost: Spark's UTF8String substring seeks from the start of the
+    string, so unchunked extraction of all k-grams is O(L²) byte scans per
+    document — fine at typical document lengths (300 chars → ~10⁵ byte
+    touches), hours at 1M chars. With max_chars, documents are split into
+    max_chars-sized chunks overlapping by w + k - 2 characters (per-gram
+    seek ≤ max_chars → O(L · max_chars) total), positions stay GLOBAL (the
+    pack uses off - 1 + local pos), and the result is
     selection-for-selection identical to the unchunked run
-    (test_winnowing_chunked_equals_unchunked). Why exact: a window at global
+    (test_winnowing_chunked_equals_unchunked). Pass max_chars (e.g. 4096)
+    whenever documents can exceed a few thousand characters. Why exact: a window at global
     start s spans chars s .. s+w+k-2, and with that overlap every full
     window fits wholly inside exactly one chunk's emitted start range
     (chunk at offset o emits starts o .. o+max_chars-k-w+1; the next chunk
@@ -312,7 +324,7 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
         F.when(F.col("off") == 1,
                F.greatest(F.lit(1), F.col("npos") - (w - 1)))
         .otherwise(F.col("npos") - (w - 1)))
-    # packed[i] (0-based i, GLOBAL position off-1+i+1): h * 2^20 + (2^20-1-pos)
+    # packed[i] (0-based i, GLOBAL position off-1+i+1): h * 2^32 + (2^32-1-pos)
     packed = F.transform(
         F.sequence(F.lit(1), F.col("npos")),
         lambda p: _kgram_hash(F.col("_c").substr(p, F.lit(k)), hash_fn) * pw
@@ -344,10 +356,14 @@ def fingerprint_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
     than max_df documents are dropped FIRST, so a boilerplate phrase shared
     by 10^6 documents cannot detonate an n² bucket (same role as a df-cap in
     an inverted index). Remaining fan-out is <= max_df² per hash."""
+    # barrier before the df-cap/self-join diamond (same discipline as
+    # minhash_duplicate_pairs): fps feeds three consumers (keep + both join
+    # sides) — without it the whole winnowing subtree is instantiated per
+    # consumer and the per-k-gram hashing can run more than once per action
     fps = (winnowing_fingerprints(df, id_col=id_col, text_col=text_col,
                                   k=k, w=w, hash_fn=hash_fn,
                                   max_chars=max_chars)
-           .select("id", "fp").distinct())
+           .select("id", "fp").distinct().localCheckpoint(eager=False))
     keep = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
             .where(F.col("_df") <= max_df).select("fp"))
     fpk = fps.join(keep, "fp")

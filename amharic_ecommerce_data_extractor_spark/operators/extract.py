@@ -241,14 +241,25 @@ def extract_entities(
 
     if backend == "rules_jvm":
         # pure-JVM path: expression-chain preprocess + fold-based BIO
-        # automaton — zero Python, scales like any codegen stage. Assumes
-        # NFC input (functions/textnorm.py caveat).
+        # automaton — zero Python (interpreted HOF lambdas, outside codegen:
+        # the SEMANTICS TWIN / no-Python-worker fallback, measured ~4× slower
+        # than the pandas 'rules' backend — see functions/extract_expr.py).
+        # Assumes NFC input (functions/textnorm.py caveat).
         from ..functions.extract_expr import with_entities_expr
         from ..functions.textnorm import preprocess_expr
 
         out = df.withColumn("preprocessed_text", preprocess_expr(F.col(text_col)))
         out = with_entities_expr(out, clean_col="preprocessed_text",
                                  with_contact_rule=with_contact_rule)
+        if not include_tokens:
+            out = out.drop("tokens", "labels")
+        if not include_clean_text:
+            out = out.drop("preprocessed_text")
+        if out.isStreaming:
+            # checkpoint is unsupported on streaming plans; a streaming
+            # consumer reads each entity column once (no union diamond), so
+            # the CollapseProject re-expansion below does not arise there
+            return out
         # optimizer barrier (same discipline as similarity.knn_lsh): without
         # it CollapseProject inlines the single-use automaton columns into
         # every downstream consumer branch — a fused extract→triples plan
@@ -256,6 +267,9 @@ def extract_entities(
         # 69 MiB task binary, executor OOM in task DEserialization at 32-way
         # parallelism). eager=False: materializes per-partition at first
         # action, MEMORY_AND_DISK, no extra job while building the plan.
+        # Lifetime note: the checkpoint blocks live until the returned
+        # DataFrame is GC'd — in a long-lived session, unpersist via
+        # df.rdd.unpersist() or scope the result, as with any persist.
         return out.localCheckpoint(eager=False)
 
     drop = set()

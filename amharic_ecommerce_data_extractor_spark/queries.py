@@ -1520,15 +1520,15 @@ h AS (  -- md5-derived 31-bit k-gram hash (cross-engine recomputable)
          CAST('0x' || substr(md5(substr(text, CAST(pos AS INT), 5)), 1, 15) AS BIGINT)
            % 2147483647 AS hv
   FROM g),
-packed AS (  -- rightmost-min-on-ties packed into one BIGINT: h*2^20 + (2^20-1-pos)
-  SELECT doc_id, npos, pos, hv * 1048576 + (1048575 - pos) AS c FROM h),
+packed AS (  -- rightmost-min-on-ties packed into one BIGINT: h*2^32 + (2^32-1-pos)
+  SELECT doc_id, npos, pos, hv * 4294967296 + (4294967295 - pos) AS c FROM h),
 wmin AS (
   SELECT doc_id, npos, pos,
          min(c) OVER (PARTITION BY doc_id ORDER BY pos
                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m
   FROM packed),
 sel AS (  -- window starts only (full windows; short docs: the one truncated window)
-  SELECT DISTINCT doc_id, CAST(m // 1048576 AS BIGINT) AS fp
+  SELECT DISTINCT doc_id, CAST(m // 4294967296 AS BIGINT) AS fp
   FROM wmin WHERE pos <= greatest(1, npos - 7)),
 keep AS (  -- drop stop-fingerprints (document frequency > 50)
   SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 50),

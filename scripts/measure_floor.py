@@ -15,8 +15,12 @@ Prints one JSON line: {"triples_per_sec": ..., "messages_per_sec": ...,
 
 The corpus is the same seed-pinned synthetic generator the Spark bench
 uses (data/synthetic.generate_messages), materialized to pandas OUTSIDE the
-timed window; the timed window covers extract → triples → scorecard, the
-same three stages bench.py times for the Spark engine.
+timed window; the timed window covers extract → triples → scorecard. Note
+the asymmetry vs bench.py's Spark window: the Spark job additionally pays
+parquet write+read I/O for the extract and triples stages inside ITS timed
+window while this floor is pure in-memory compute — the "× floor" ratios
+derived from the two are therefore conservative (they understate the
+engine's advantage).
 """
 
 from __future__ import annotations

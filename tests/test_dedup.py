@@ -299,3 +299,24 @@ def test_winnowing_chunked_equals_unchunked(spark):
         assert chunked == plain, f"max_chars={mc}"
     with pytest.raises(ValueError):
         dd.winnowing_fingerprints(df, max_chars=11)
+
+
+def test_winnowing_positions_beyond_2_20_exact(spark):
+    # regression: with a 2^20 packing width, positions past 1,048,575
+    # underflowed the pack (fp decoded as hash-1, pos wrapped). The 2^32
+    # width makes every representable document exact — pin it with a
+    # 1.06M-char doc compared selection-for-selection to the eager reference.
+    # max_chars REQUIRED here: it is both the straggler bound and the cost
+    # bound (unchunked per-gram substr re-seeks from the string start —
+    # O(L²) byte scans on a megabyte doc; see winnowing_fingerprints).
+    import random
+
+    rng = random.Random(99)
+    text = "".join(rng.choice("abcdefgh ij") for _ in range(1_060_000))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = {(r["pos"], r["fp"])
+           for r in dd.winnowing_fingerprints(df, hash_fn="md5",
+                                              max_chars=4096).collect()}
+    exp = _ref_winnow(text)
+    assert got == exp
+    assert max(p for p, _ in got) > (1 << 20)  # the test actually crosses it

@@ -99,3 +99,26 @@ def test_stateful_vendor_totals(spark, tmp_path):
             spark.read.parquet(src).groupBy("repo").agg(F.count("*").alias("cnt")).collect()}
     assert got2 == want
     assert all(got2[v] >= got1[v]["n_posts"] for v in got1)
+
+
+def test_rules_jvm_backend_builds_streaming_plan(spark, tmp_path):
+    # the rules_jvm extraction barrier (localCheckpoint) must be skipped on
+    # streaming inputs — checkpoint is unsupported there and this backend is
+    # the no-Python-worker fallback streaming deployments would pick
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    generate_messages(spark, n_rows=60, n_vendors=5).write.parquet(src)
+
+    stream = extract_entities(read_message_stream(spark, src), backend="rules_jvm")
+    assert stream.isStreaming
+    run_stream_once(stream.select("message_id", "products", "prices"), out, ck)
+    got = spark.read.parquet(out)
+    assert got.count() == 60
+    batch = extract_entities(spark.read.parquet(src), backend="rules_jvm")
+
+    def rows(df):
+        return {(r["message_id"], tuple(r["products"]), tuple(r["prices"]))
+                for r in df.select("message_id", "products", "prices").collect()}
+
+    assert rows(got) == rows(batch)
