@@ -108,3 +108,29 @@ def run_stream_once_foreach(df: DataFrame, out_dir: str, checkpoint_dir: str):
          .start())
     q.awaitTermination()
     return q
+
+
+def streaming_exact_dedup(messages: DataFrame, watermark: str = "2 days",
+                          text_col: str = "content") -> DataFrame:
+    """Dedup-on-ingest: drop exact-content duplicates incrementally (the
+    streaming twin of operators.dedup.exact_duplicates' keep-first rule).
+
+    Shape: sha256(content) is the dedup key — uniformly distributed, no
+    skew — and `dropDuplicatesWithinWatermark` keeps one row per key while
+    the watermark BOUNDS THE STATE: a key older than the watermark is
+    evicted, so state size is O(arrival rate × watermark), not O(corpus).
+    That is the standard 100 TB ingest pattern — exact global dedup is the
+    batch job's responsibility (operators.dedup), the stream guards the
+    door against replays/reposts inside the watermark horizon.
+
+    Late-data caveat (standard watermark semantics, easy to trip in tests):
+    rows whose event time is already older than the advanced watermark are
+    DROPPED entirely, not just un-deduplicated — size the watermark to the
+    real arrival skew (event-time lag), not to the dedup horizon you wish
+    for.
+    """
+    return (messages
+            .withColumn("_fp", F.sha2(F.col(text_col), 256))
+            .withWatermark("message_date", watermark)
+            .dropDuplicatesWithinWatermark(["_fp"])
+            .drop("_fp"))

@@ -122,3 +122,33 @@ def test_rules_jvm_backend_builds_streaming_plan(spark, tmp_path):
                 for r in df.select("message_id", "products", "prices").collect()}
 
     assert rows(got) == rows(batch)
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    from amharic_ecommerce_data_extractor_spark.streaming.stream import (
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    msgs = generate_messages(spark, n_rows=120, n_vendors=6)
+    # replay 40 of the messages with new ids (same content, same event time):
+    # classic double-ingest; all replays fall inside the watermark horizon
+    replay = (msgs.limit(40)
+              .withColumn("message_id", F.col("message_id") + 5_000_000))
+    msgs.unionByName(replay).repartition(6).write.parquet(src)
+
+    # watermark wider than the synthetic corpus's event-time span: files
+    # arrive in arbitrary (non-chronological) order across micro-batches, and
+    # a narrow watermark would discard whole later batches as late data —
+    # here we pin the DEDUP semantics; state eviction is the operational knob
+    stream = streaming_exact_dedup(
+        read_message_stream(spark, src, max_files_per_trigger=2),
+        watermark="10000 days")
+    run_stream_once(stream, out, ck)
+    got = spark.read.parquet(out)
+
+    n_distinct_contents = msgs.select("content").distinct().count()
+    assert got.count() == n_distinct_contents
+    assert got.select("content").distinct().count() == n_distinct_contents
