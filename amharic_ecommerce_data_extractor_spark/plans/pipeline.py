@@ -37,15 +37,22 @@ from ..sources import checkpoint as ckpt
 
 
 def entity_surfaces(extracted: DataFrame) -> DataFrame:
-    """Distinct (type, surface) pairs from the entity arrays."""
-    parts = []
-    for col, etype in (("products", "PRODUCT"), ("locations", "LOC")):
-        parts.append(
-            extracted.select(F.explode(col).alias("surface"))
-            .withColumn("type", F.lit(etype))
-        )
+    """Distinct (type, surface) pairs from the entity arrays.
+
+    One pass over ``extracted`` (typed struct arrays concatenated before a
+    single explode, same shape as operators.triples.emit_triples): a
+    per-type union would re-execute the upstream — including the Python
+    extraction — once per type when the input is not materialized (the
+    fused q34 path)."""
+    def typed(col: str, etype: str):
+        arr = F.coalesce(F.col(col), F.array().cast("array<string>"))
+        return F.transform(arr, lambda s: F.struct(
+            F.lit(etype).alias("type"), s.alias("surface")))
+
+    pairs = F.concat(typed("products", "PRODUCT"), typed("locations", "LOC"))
     return (
-        parts[0].unionByName(parts[1])
+        extracted.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.type").alias("type"), F.col("p.surface").alias("surface"))
         .where(F.length(F.trim("surface")) > 0)
         .dropDuplicates(["type", "surface"])
     )
