@@ -253,7 +253,8 @@ def _kgram_hash(gram, hash_fn: str):
 def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 5, w: int = 8,
                            hash_fn: str = "xxhash64",
-                           max_chars: int | None = None) -> DataFrame:
+                           max_chars: int | None = 8192,
+                           _cross_chunk_dedup: bool = True) -> DataFrame:
     """(id, pos, fp) — the winnowed fingerprint set of every document: hash
     each character k-gram, slide a window over w consecutive k-gram hashes,
     select each window's minimum hash taking the RIGHTMOST position on ties,
@@ -267,17 +268,21 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
     (2^32 - 1 - pos) — so each window is a plain numeric array_min over a
     w-slice, not a struct comparator or a UDF.
 
-    max_chars bounds BOTH the giant-document straggler AND the per-gram
-    substring cost: Spark's UTF8String substring seeks from the start of the
-    string, so unchunked extraction of all k-grams is O(L²) byte scans per
-    document — fine at typical document lengths (300 chars → ~10⁵ byte
-    touches), hours at 1M chars. With max_chars, documents are split into
+    max_chars (DEFAULT ON, 8192) bounds BOTH the giant-document straggler
+    AND the per-gram substring cost: Spark's UTF8String substring seeks from
+    the start of the string, so unchunked extraction of all k-grams is O(L²)
+    byte scans per document — fine at typical document lengths (300 chars →
+    ~10⁵ byte touches), hours at 1M chars. It is the default because the
+    footgun is silent and the chunked result is selection-for-selection
+    identical (test_winnowing_chunked_equals_unchunked); pass max_chars=None
+    only when documents are known-bounded and you want the absolutely
+    minimal single-projection zero-shuffle plan (the chunked path adds one
+    distinct shuffle to collapse cross-chunk duplicate selections —
+    _cross_chunk_dedup=False skips it when a downstream distinct subsumes
+    it, as fingerprint_overlap_pairs does). Documents are split into
     max_chars-sized chunks overlapping by w + k - 2 characters (per-gram
     seek ≤ max_chars → O(L · max_chars) total), positions stay GLOBAL (the
-    pack uses off - 1 + local pos), and the result is
-    selection-for-selection identical to the unchunked run
-    (test_winnowing_chunked_equals_unchunked). Pass max_chars (e.g. 4096)
-    whenever documents can exceed a few thousand characters. Why exact: a window at global
+    pack uses off - 1 + local pos). Why exact: a window at global
     start s spans chars s .. s+w+k-2, and with that overlap every full
     window fits wholly inside exactly one chunk's emitted start range
     (chunk at offset o emits starts o .. o+max_chars-k-w+1; the next chunk
@@ -313,7 +318,7 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
                   .select("id", "off",
                           F.col("_t").substr(F.col("off"), F.lit(max_chars)).alias("_c"))
                   .where(F.length("_c") >= k))
-        cross_chunk_dedup = True
+        cross_chunk_dedup = _cross_chunk_dedup
     # per-chunk gram count, and the last emitted window start: head chunks
     # keep the short-doc truncated window (greatest(1, ...)); non-head
     # chunks emit full windows only — a sub-w tail is the previous chunk's
@@ -347,7 +352,7 @@ def fingerprint_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
                               text_col: str = "text", k: int = 5, w: int = 8,
                               min_shared: int = 3, max_df: int = 50,
                               hash_fn: str = "xxhash64",
-                              max_chars: int | None = None) -> DataFrame:
+                              max_chars: int | None = 8192) -> DataFrame:
     """(src, dst, n_shared) — document pairs sharing >= min_shared winnowed
     fingerprints (the MOSS similarity join).
 
@@ -360,9 +365,11 @@ def fingerprint_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
     # minhash_duplicate_pairs): fps feeds three consumers (keep + both join
     # sides) — without it the whole winnowing subtree is instantiated per
     # consumer and the per-k-gram hashing can run more than once per action
+    # _cross_chunk_dedup=False: the (id, fp) distinct below subsumes the
+    # chunked path's cross-chunk (id, pos, fp) dedup — one shuffle, not two
     fps = (winnowing_fingerprints(df, id_col=id_col, text_col=text_col,
                                   k=k, w=w, hash_fn=hash_fn,
-                                  max_chars=max_chars)
+                                  max_chars=max_chars, _cross_chunk_dedup=False)
            .select("id", "fp").distinct().localCheckpoint(eager=False))
     keep = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
             .where(F.col("_df") <= max_df).select("fp"))

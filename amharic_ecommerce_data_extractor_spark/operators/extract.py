@@ -256,9 +256,16 @@ def extract_entities(
         if not include_clean_text:
             out = out.drop("preprocessed_text")
         if out.isStreaming:
-            # checkpoint is unsupported on streaming plans; a streaming
-            # consumer reads each entity column once (no union diamond), so
-            # the CollapseProject re-expansion below does not arise there
+            # checkpoint is unsupported on streaming plans, so the barrier
+            # below cannot apply. Consequence (measured): a consumer that
+            # references an entity column more than once in one projection —
+            # emit_triples touches products 3× and price_values 2× — inlines
+            # the automaton per reference, ~11× plan text at toy scale
+            # (bounded LINEAR in reference count, not the exponential union
+            # re-expansion the barrier exists for; plan-size pinned by
+            # tests/test_streaming.py). For throughput-critical streaming
+            # triples prefer backend='rules' (pandas) — this path is the
+            # no-Python-worker fallback.
             return out
         # optimizer barrier (same discipline as similarity.knn_lsh): without
         # it CollapseProject inlines the single-use automaton columns into

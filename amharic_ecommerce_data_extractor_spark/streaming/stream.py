@@ -111,9 +111,17 @@ def run_stream_once_foreach(df: DataFrame, out_dir: str, checkpoint_dir: str):
 
 
 def streaming_exact_dedup(messages: DataFrame, watermark: str = "2 days",
-                          text_col: str = "content") -> DataFrame:
-    """Dedup-on-ingest: drop exact-content duplicates incrementally (the
-    streaming twin of operators.dedup.exact_duplicates' keep-first rule).
+                          text_col: str = "content",
+                          event_time_col: str = "message_date") -> DataFrame:
+    """Dedup-on-ingest: drop exact-content duplicates incrementally.
+
+    Representative rule differs from the batch twin by necessity:
+    operators.dedup.exact_duplicates keeps the LOWEST-id row per content
+    (deterministic, order-free), while a stream can only keep the
+    FIRST-ARRIVING row — under out-of-order ingest the two paths may keep
+    different representatives of the same content. Downstream logic keyed on
+    the surviving row id must not assume they agree; content-keyed logic is
+    unaffected.
 
     Shape: sha256(content) is the dedup key — uniformly distributed, no
     skew — and `dropDuplicatesWithinWatermark` keeps one row per key while
@@ -131,6 +139,6 @@ def streaming_exact_dedup(messages: DataFrame, watermark: str = "2 days",
     """
     return (messages
             .withColumn("_fp", F.sha2(F.col(text_col), 256))
-            .withWatermark("message_date", watermark)
+            .withWatermark(event_time_col, watermark)
             .dropDuplicatesWithinWatermark(["_fp"])
             .drop("_fp"))

@@ -152,3 +152,27 @@ def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
     n_distinct_contents = msgs.select("content").distinct().count()
     assert got.count() == n_distinct_contents
     assert got.select("content").distinct().count() == n_distinct_contents
+
+
+def test_rules_jvm_fused_unbarriered_plan_bounded(spark, tmp_path):
+    # no barrier is possible on streaming plans, so the fused emit_triples
+    # composition inlines the automaton once per entity-column reference —
+    # LINEAR in reference count, not the exponential union re-expansion the
+    # barrier guards against. A streaming DF refuses optimizedPlan before
+    # start(), so pin the property on the identical-shape batch plan with
+    # the barrier bypassed (with_entities_expr called directly).
+    from amharic_ecommerce_data_extractor_spark.functions.extract_expr import (
+        with_entities_expr,
+    )
+    from amharic_ecommerce_data_extractor_spark.functions.textnorm import (
+        preprocess_expr,
+    )
+    from amharic_ecommerce_data_extractor_spark.operators.triples import emit_triples
+
+    m = generate_messages(spark, n_rows=20, n_vendors=3)
+    unbarriered = with_entities_expr(
+        m.withColumn("preprocessed_text", preprocess_expr(F.col("content"))),
+        clean_col="preprocessed_text")
+    fused = emit_triples(unbarriered)
+    plan_len = len(fused._jdf.queryExecution().optimizedPlan().toString())
+    assert plan_len < 500_000, f"fused unbarriered rules_jvm plan exploded: {plan_len}"
