@@ -39,7 +39,12 @@ def curate(
     100 TB-safe setting for the CC consumer (see dedup.dedup); 'all' trades
     O(bucket²) edges for full verification recall on similarity chains."""
     # each stage is persisted before the audit count — otherwise every
-    # count() action recomputes the whole upstream chain (incl. MinHash+CC)
+    # count() action recomputes the whole upstream chain (incl. MinHash+CC).
+    # The raw input is persisted too: the audit's "input" count is the action
+    # that populates the cache, and the dedup stage (which reads the input
+    # several times: exact-hash pass + shingle pass) then reads the cached
+    # copy instead of rescanning the source — one source scan total.
+    docs = docs.persist()
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
 
     deduped = dedup(docs, id_col=id_col, text_col=text_col,
@@ -69,6 +74,7 @@ def curate(
         "stage_idx int, stage string, rows_surviving long")
     curated = curated.persist()
     curated.count()  # materialize before releasing the upstream caches
+    docs.unpersist()
     deduped.unpersist()
     filtered.unpersist()
     return curated, audit

@@ -221,8 +221,19 @@ def extract_entities(
     target_partitions: int | None = None,
     include_tokens: bool = True,
     include_clean_text: bool = True,
+    jvm_barrier: bool = True,
 ) -> DataFrame:
     """messages → messages + entity columns. Narrow plan, zero shuffles.
+
+    jvm_barrier (rules_jvm backend only): the returned plan ends in a
+    localCheckpoint(eager=False) optimizer barrier that stops CollapseProject
+    re-inlining the automaton into every downstream reference. The barrier's
+    MEMORY_AND_DISK blocks live until the returned DataFrame is GC'd — in a
+    long-lived session making many rules_jvm calls, either unpersist with
+    df.rdd.unpersist() when done, or pass jvm_barrier=False and place your
+    own barrier/checkpoint downstream (an un-barriered plan consumed by
+    multi-reference consumers re-expands multiplicatively; plan-size pinned
+    by tests/test_plan_quality.py).
 
     target_partitions: optionally repartition the input first. With exactly
     one task per core a single straggler idles the whole stage tail; 2-4×
@@ -276,8 +287,9 @@ def extract_entities(
         # action, MEMORY_AND_DISK, no extra job while building the plan.
         # Lifetime note: the checkpoint blocks live until the returned
         # DataFrame is GC'd — in a long-lived session, unpersist via
-        # df.rdd.unpersist() or scope the result, as with any persist.
-        return out.localCheckpoint(eager=False)
+        # df.rdd.unpersist() or scope the result, as with any persist
+        # (jvm_barrier=False opts out; see docstring).
+        return out.localCheckpoint(eager=False) if jvm_barrier else out
 
     drop = set()
     if not include_tokens:

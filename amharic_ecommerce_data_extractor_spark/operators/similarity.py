@@ -198,18 +198,50 @@ def knn_lsh(
 # equi join on cell id; recall is tuned with nprobe.
 # ---------------------------------------------------------------------------
 
+def ivf_sizing(n_vectors: int, max_cells: int | None = None) -> tuple[int, int]:
+    """(n_cells, sample_size) for a corpus of n_vectors — the standard IVF
+    rule of thumb: n_cells ≈ √n balances per-probe cell scan cost (n/n_cells
+    rows) against the assignment/probe cost (n_cells centroid dot products
+    per vector); sample_size = 50·n_cells so every centroid sees ~50 training
+    points (k-means stability floor; below that, empty/degenerate cells).
+
+    Scale anchors: 1M vectors → 1,000 cells / 50k sample; 1B (the 100 TB
+    regime) → ~32k cells / 1.6M sample — the sample is still driver-feasible
+    (1.6M × 64 float64 ≈ 800 MB; cap cells or sample the trainer itself
+    beyond that). For ``ivf_index_write``, √n cells also keeps per-cell
+    parquet output near n/√n rows — at 1B rows × 1 KB that is ~30k files of
+    ~32 MB, inside the healthy file-size band; re-derive with max_cells if
+    your row width pushes cells under ~8 MB per file."""
+    import math
+
+    n_cells = max(1, int(math.isqrt(max(n_vectors, 1))))
+    if max_cells is not None:
+        n_cells = min(n_cells, max_cells)
+    return n_cells, 50 * n_cells
+
+
 def ivf_train_centroids(corpus: DataFrame, n_cells: int = 16, dim: int = 64,
                         sample_size: int = 4096, iters: int = 10,
-                        vec_col: str = "embedding", seed: int = 42):
+                        vec_col: str = "embedding", seed: int = 42,
+                        size_hint: int | None = None):
     """Lloyd's k-means on a driver-side sample (numpy); returns
     list[list[float]] centroids. The sample is tiny and the centroids are
     broadcast as literals — training cost is independent of corpus size.
+
+    The n_cells/sample_size defaults are sandbox constants (tiny corpora);
+    pass ``size_hint=<approx corpus row count>`` to derive both from the
+    √n / 50-per-cell rule instead (see ``ivf_sizing``) — the production
+    setting, where hard-coding 16 cells would leave each cell at n/16 rows
+    and probes effectively un-pruned.
 
     Sampling is reservoir-style (takeSample) — UNBIASED across partitions.
     limit()-sampling would take the first partitions only, mis-centering the
     quantizer whenever the corpus is clustered in storage order (typical:
     ingest order correlates with content)."""
     import numpy as np
+
+    if size_hint is not None:
+        n_cells, sample_size = ivf_sizing(size_hint)
 
     rows = corpus.select(vec_col).rdd.takeSample(False, sample_size, seed)
     x = np.array([list(r[0]) for r in rows], dtype=np.float64)

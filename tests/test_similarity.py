@@ -111,3 +111,37 @@ def test_ivf_materialized_index_matches_and_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
     assert "cell" in pf
+
+
+def test_ivf_sizing_rule_scales_with_corpus():
+    import numpy as np
+
+    from amharic_ecommerce_data_extractor_spark.operators.similarity import ivf_sizing
+
+    # √n cells, 50 samples per cell — and monotone in n
+    assert ivf_sizing(1_000_000) == (1000, 50_000)
+    assert ivf_sizing(10_000) == (100, 5_000)
+    cells = [ivf_sizing(n)[0] for n in (100, 10_000, 1_000_000, 10**9)]
+    assert cells == sorted(cells) and cells[-1] > 30_000
+    # max_cells caps both knobs together (sample stays 50×cells)
+    assert ivf_sizing(10**9, max_cells=4096) == (4096, 204_800)
+    assert ivf_sizing(0) == (1, 50)
+    assert np is not None
+
+
+def test_ivf_train_centroids_size_hint(spark):
+    import numpy as np
+
+    from amharic_ecommerce_data_extractor_spark.operators.similarity import (
+        ivf_sizing,
+        ivf_train_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(v) for v in rng.normal(0, 1, 8)]) for i in range(500)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # size_hint derives n_cells from the rule (√400 = 20), overriding the
+    # sandbox default of 16; sample is capped by corpus size, centroids by
+    # available samples
+    cents = ivf_train_centroids(emb, dim=8, seed=5, size_hint=400)
+    assert len(cents) == ivf_sizing(400)[0] == 20
