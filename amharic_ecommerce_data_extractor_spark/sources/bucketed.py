@@ -1,0 +1,60 @@
+"""Bucketed checkpoint tables — co-located joins without per-query shuffles.
+
+The KG pipeline's recurring join keys are ``message_id`` (predictions ⋈
+metadata, reference ``vendor_scorecard.py:64-67``) and the vendor key
+(scorecard aggregation). At 100 TB every such join/aggregation pays a full
+shuffle of both sides PER QUERY; bucketing pays that shuffle ONCE at
+checkpoint-write time and every downstream query joins bucket-to-bucket with
+zero exchange:
+
+* both sides written with ``bucketBy(N, key)`` and the SAME N → Catalyst
+  plans a SortMergeJoin whose children are bucketed scans, no
+  ShuffleExchange on either side (pinned by tests/test_bucketed.py);
+* ``groupBy(key)`` on a bucketed table likewise skips its exchange
+  (bucketing IS hash partitioning, persisted);
+* point lookups on the bucket key prune to 1/N of the files (bucket
+  pruning), the same serving trick as the IVF cell layout.
+
+Bucketing requires a catalog table (``saveAsTable``) — a bare
+``parquet(path)`` write silently drops the bucket spec; that is a Spark
+limitation, not a choice. On a real deployment the same call lands on the
+Iceberg/Hive catalog (Iceberg: ``bucket(N, key)`` partition transform); in
+the sandbox it uses the session's local warehouse dir.
+
+Sizing rule: N_buckets ≈ table_size / target_file_size (128–512 MB per
+bucket file per partition); both join sides MUST use the same N (Spark does
+not yet join compatible multiples without a shuffle on one side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int, sort_cols: list[str] | None = None,
+                   fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Write df as a bucketed catalog table (one shuffle now, none later).
+
+    sort_cols: optional ``sortBy`` within buckets — lets the downstream
+    SortMergeJoin skip its sort too (scan → merge directly), and keeps
+    min/max file statistics tight for the bucket key."""
+    w = df.write.format(fmt).mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back WITH its bucket spec (spark.table; a
+    path-based read would lose the bucketing metadata)."""
+    return spark.table(table)
+
+
+def is_shuffle_free_join(joined: DataFrame) -> bool:
+    """True when the executed plan contains a join but no shuffle exchange —
+    the co-location check the tests pin. AQE keeps the exchanges visible in
+    the final plan string when they exist, so absence is meaningful."""
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    has_join = "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    return has_join and "Exchange hashpartitioning" not in plan
