@@ -9,7 +9,9 @@ formats that need no external libraries:
 
 * uncompressed 24-bit BMP (``BM`` magic, BITMAPINFOHEADER) — header parse +
   pixel rows (bottom-up, 4-byte row padding);
-* binary netpbm PGM (``P5``) / PPM (``P6``) — header parse + raw samples.
+* binary netpbm PGM (``P5``) / PPM (``P6``) — header parse + raw samples;
+* RIFF WAVE uncompressed PCM (8/16-bit) — chunk walk + sample statistics
+  (rate/channels/duration/RMS/peak/zero-crossings).
 
 Decoded images get real features (4×4 grayscale grid means) and a real
 nearest-neighbor resize. Payloads in any OTHER format fall back to a
@@ -179,6 +181,108 @@ def extract_image_features(media: DataFrame, batch_size_hint: int = 256) -> Data
 
     img = media.where(F.col("media_type") == "image").select("media_id", "payload")
     return img.mapInPandas(run, schema=out_schema)
+
+
+AUDIO_FEATURE_FIELDS = [
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("duration_s", T.FloatType(), True),
+    T.StructField("rms", T.FloatType(), True),
+    T.StructField("peak", T.FloatType(), True),
+    T.StructField("zero_cross_rate", T.FloatType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("payload_sha256", T.StringType(), True),
+]
+
+
+def _parse_wav(payload: bytes):
+    """(sample_rate, n_channels, float32 mono samples in [-1, 1]) for RIFF
+    WAVE with uncompressed PCM (format tag 1, 8/16-bit), else None. Chunk
+    walk tolerates extra chunks (LIST, fact, ...) and odd-size padding."""
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size, = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_fmt != 1 or not (1 <= n_ch <= 8) or rate <= 0 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        n = len(data) // 2 // n_ch * n_ch
+        x = np.frombuffer(data, dtype="<i2", count=n).astype(np.float32) / 32768.0
+    else:  # 8-bit WAV PCM is unsigned, midpoint 128
+        n = len(data) // n_ch * n_ch
+        x = (np.frombuffer(data, dtype=np.uint8, count=n).astype(np.float32)
+             - 128.0) / 128.0
+    if n == 0:
+        return None
+    return int(rate), int(n_ch), x.reshape(-1, n_ch).mean(axis=1)
+
+
+def _audio_features_stub(payload: bytes) -> dict:
+    """Audio decode: REAL for RIFF/WAVE PCM (header chunk walk + sample
+    statistics — the audio twin of the BMP/PGM/PPM image path);
+    deterministic sha256-derived fake for any other payload (mp3/ogg/flac
+    need codec libs absent here — swap for soundfile/ffmpeg in production,
+    signatures unchanged). b'REAL'-prefixed payloads hard-raise."""
+    import numpy as np
+
+    if payload[:4] == b"REAL":
+        raise NotImplementedError("this payload requires an audio codec lib "
+                                  "(soundfile/ffmpeg) on executors")
+    decoded = _parse_wav(payload)
+    if decoded is not None:
+        rate, n_ch, mono = decoded
+        return {
+            "sample_rate": rate, "n_channels": n_ch,
+            "duration_s": float(len(mono) / rate),
+            "rms": float(np.sqrt(np.mean(mono * mono))),
+            "peak": float(np.max(np.abs(mono))),
+            "zero_cross_rate": float(np.mean(np.signbit(mono[1:])
+                                             != np.signbit(mono[:-1]))),
+        }
+    h = hashlib.sha256(payload).digest()
+    return {
+        "sample_rate": 8000 * (1 + h[0] % 6),
+        "n_channels": 1 + h[1] % 2,
+        "duration_s": round(0.5 + (h[2] / 255.0) * 29.5, 6),
+        "rms": round(h[3] / 255.0, 6),
+        "peak": round(max(h[3], h[4]) / 255.0, 6),
+        "zero_cross_rate": round(h[5] / 255.0, 6),
+    }
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """media table → per-clip audio features via Arrow-batched mapInPandas —
+    same narrow, batch-amortized shape as extract_image_features; only
+    (media_id, payload) cross the Arrow boundary."""
+    out_schema = T.StructType(
+        [T.StructField("media_id", T.LongType(), False)] + AUDIO_FEATURE_FIELDS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                rec = {"media_id": int(mid), "n_bytes": len(data),
+                       "payload_sha256": hashlib.sha256(data).hexdigest()}
+                rec.update(_audio_features_stub(data))
+                recs.append(rec)
+            yield pd.DataFrame(recs, columns=[f.name for f in out_schema.fields])
+
+    aud = media.where(F.col("media_type") == "audio").select("media_id", "payload")
+    return aud.mapInPandas(run, schema=out_schema)
 
 
 def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:

@@ -265,3 +265,79 @@ def test_real_resize_roundtrip(spark):
     assert (w, h) == (4, 4)
     assert int(rpx[0, 0, 0]) == 255 and int(rpx[0, 0, 2]) == 0
     assert int(rpx[3, 3, 2]) == 255 and int(rpx[3, 3, 0]) == 0
+
+
+def _make_wav(samples, rate=16000, n_ch=1, bits=16, extra_chunk=True) -> bytes:
+    """Synthesize a RIFF/WAVE PCM payload; extra_chunk inserts a LIST chunk
+    to exercise the chunk walk."""
+    import struct
+
+    import numpy as np
+
+    if bits == 16:
+        data = (np.asarray(samples) * 32767).astype("<i2").tobytes()
+    else:
+        data = ((np.asarray(samples) * 127) + 128).astype("uint8").tobytes()
+    block = n_ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:
+        chunks += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_real_audio_decode_wav(spark):
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from amharic_ecommerce_data_extractor_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    rate = 8000
+    t = np.arange(rate)  # 1 s
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t / rate)
+    junk = b"not audio at all"
+    rows = [(0, "audio", "audio/wav", bytearray(_make_wav(sine, rate=rate)), {}),
+            (1, "audio", "audio/wav",
+             bytearray(_make_wav(sine, rate=rate, bits=8, extra_chunk=False)), {}),
+            (2, "audio", "audio/mp3", bytearray(junk), {}),
+            (3, "image", "image/bmp", bytearray(b"skipme"), {})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+
+    assert set(got) == {0, 1, 2}  # images filtered out
+    # 16-bit sine: real header fields + sample statistics
+    assert got[0]["sample_rate"] == rate and got[0]["n_channels"] == 1
+    assert abs(got[0]["duration_s"] - 1.0) < 1e-6
+    assert abs(got[0]["rms"] - 0.5 / math.sqrt(2)) < 1e-3
+    assert abs(got[0]["peak"] - 0.5) < 1e-3
+    # 440 Hz crosses zero ~880 times/s
+    assert abs(got[0]["zero_cross_rate"] - 880 / rate) < 0.01
+    # 8-bit variant decodes too (coarser quantization)
+    assert got[1]["sample_rate"] == rate
+    assert abs(got[1]["rms"] - 0.5 / math.sqrt(2)) < 0.01
+    # undecodable payload: deterministic sha-derived fallback
+    h = hashlib.sha256(junk).digest()
+    assert got[2]["sample_rate"] == 8000 * (1 + h[0] % 6)
+    assert got[2]["n_bytes"] == len(junk)
+
+
+def test_audio_real_marker_raises(spark):
+    import pytest as _pytest
+
+    from amharic_ecommerce_data_extractor_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    media = spark.createDataFrame(
+        [(0, "audio", "audio/flac", bytearray(b"REALflacbytes"), {})], MEDIA_SCHEMA)
+    with _pytest.raises(Exception, match="codec"):
+        extract_audio_features(media).collect()
