@@ -30,6 +30,7 @@ def curate(
     source_col: str = "source",
     hash_fn: str = "xxhash64",
     pair_mode: str = "star",
+    dedup_method: str = "minhash",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (curated_docs, audit). audit: one row per stage with rows
     surviving — the per-stage lineage a data steward reads.
@@ -37,7 +38,10 @@ def curate(
     (see linking.minhash_signature). pair_mode='star' (default) keeps the
     near-dup candidate-edge count linear in duplicate-cluster size — the
     100 TB-safe setting for the CC consumer (see dedup.dedup); 'all' trades
-    O(bucket²) edges for full verification recall on similarity chains."""
+    O(bucket²) edges for full verification recall on similarity chains.
+    dedup_method='winnowing' swaps the near-dup edge source from MinHash
+    resemblance to MOSS fingerprint overlap (verbatim-run containment —
+    catches boilerplate-level copying; see dedup.dedup)."""
     # each stage is persisted before the audit count — otherwise every
     # count() action recomputes the whole upstream chain (incl. MinHash+CC).
     # The raw input is persisted too: the audit's "input" count is the action
@@ -49,7 +53,7 @@ def curate(
 
     deduped = dedup(docs, id_col=id_col, text_col=text_col,
                     threshold=near_dup_threshold, hash_fn=hash_fn,
-                    pair_mode=pair_mode).persist()
+                    pair_mode=pair_mode, method=dedup_method).persist()
     stages.append(("dedup", deduped))
 
     scored = deduped.withColumn("quality", ts.quality_score(F.col(text_col))) \

@@ -190,9 +190,32 @@ def embedding_duplicate_pairs(df: DataFrame, threshold: float = 0.95,
 
 def dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
           threshold: float = 0.7, hash_fn: str = "xxhash64",
-          pair_mode: str = "star") -> DataFrame:
-    """End-to-end dedup: exact first (cheap hash shuffle), then MinHash
-    near-dup components; keeps the lowest id per component.
+          pair_mode: str = "star", method: str = "minhash",
+          winnow_k: int = 5, winnow_w: int = 8, winnow_min_shared: int = 8,
+          winnow_max_df: int = 50) -> DataFrame:
+    """End-to-end dedup: exact first (cheap hash shuffle), then near-dup
+    components; keeps the lowest id per component.
+
+    method picks the near-dup edge source:
+
+    * ``minhash`` (default) — word-shingle MinHash-LSH candidates + exact
+      Jaccard >= threshold verify. Resemblance semantics: catches documents
+      whose shingle SETS mostly agree — whole-document similarity,
+      insensitive to where in the documents the shared material sits.
+    * ``winnowing`` — MOSS fingerprint-overlap pairs (>= winnow_min_shared
+      shared winnowed k-gram fingerprints). Containment-ish semantics: any
+      verbatim run of winnow_w + winnow_k - 1 chars is guaranteed a shared
+      fingerprint, so it catches boilerplate/quote-level copying MinHash
+      dilutes away on long documents. pair_mode does not apply here — the
+      winnow_max_df stop-fingerprint cap plays the bucket-bound role
+      (edges <= max_df² per fingerprint), and threshold is unused.
+      winnow_min_shared defaults HIGHER here (8) than in the pair-listing
+      operator (3): connected components closes pairs transitively, so a
+      low pair bar chain-merges everything sharing template boilerplate
+      (measured: the phrase-templated sf0.001 documents collapse 1000→26
+      at min_shared=3 vs 1000→409 at 8); size it to the verbatim-run
+      mass that constitutes "duplicate" in YOUR corpus, and keep max_df
+      tight — stop-fingerprints are where template text chains.
 
     pair_mode defaults to 'star' here (unlike the pair-LISTING operators,
     which default to 'all' because the exact pair set IS their answer): the
@@ -210,9 +233,19 @@ def dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     exact_kept = (hashed.withColumn("_rn", F.row_number().over(w))
                   .where(F.col("_rn") == 1).drop("_rn", "_fp"))
 
-    pairs = minhash_duplicate_pairs(exact_kept, id_col=id_col, text_col=text_col,
-                                    threshold=threshold, hash_fn=hash_fn,
-                                    pair_mode=pair_mode)
+    if method == "minhash":
+        pairs = minhash_duplicate_pairs(exact_kept, id_col=id_col,
+                                        text_col=text_col, threshold=threshold,
+                                        hash_fn=hash_fn, pair_mode=pair_mode)
+    elif method == "winnowing":
+        pairs = fingerprint_overlap_pairs(exact_kept, id_col=id_col,
+                                          text_col=text_col, k=winnow_k,
+                                          w=winnow_w,
+                                          min_shared=winnow_min_shared,
+                                          max_df=winnow_max_df,
+                                          hash_fn=hash_fn)
+    else:
+        raise ValueError(f"method must be 'minhash' or 'winnowing', got {method!r}")
     comp = connected_components(pairs.select("src", "dst"))
     joined = exact_kept.join(comp, exact_kept[id_col] == comp.node, "left")
     keep = F.coalesce(F.col("component"), F.col(id_col))

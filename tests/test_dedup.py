@@ -320,3 +320,45 @@ def test_winnowing_positions_beyond_2_20_exact(spark):
     exp = _ref_winnow(text)
     assert got == exp
     assert max(p for p, _ in got) > (1 << 20)  # the test actually crosses it
+
+
+def test_dedup_winnowing_method(spark):
+    """dedup(method='winnowing'): a doc sharing a long verbatim run with
+    another collapses to one survivor (lowest id); vocabulary overlap alone
+    stays below the min_shared bar."""
+    from amharic_ecommerce_data_extractor_spark.operators.dedup import dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    copied = "INTRO " + base + " OUTRO"               # verbatim containment
+    reordered = " ".join(reversed(base.split()))       # same words, new runs
+    distinct = "completely different content with no overlap whatsoever here"
+    rows = [(1, base), (2, copied), (3, reordered), (4, distinct), (5, base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kept = sorted(r.doc_id for r in dedup(df, method="winnowing",
+                                          winnow_min_shared=8).collect())
+    # 5 is an exact dup of 1 (dropped); 2 contains the whole base verbatim —
+    # 13 shared fingerprints with 1 (dropped); 3's reordering keeps only the
+    # word-level 5-grams of the shared vocabulary — 5 shared fingerprints,
+    # below the bar (kept); 4 kept. min_shared is what separates run-level
+    # copying from mere vocabulary overlap.
+    assert kept == [1, 3, 4]
+
+    with pytest.raises(ValueError, match="method"):
+        dedup(df, method="nope")
+
+
+def test_curate_winnowing_method(spark):
+    from amharic_ecommerce_data_extractor_spark.operators.curation import curate
+
+    base = ("useful document body with enough words to pass the quality and "
+            "length filters applied by the curation pipeline stage")
+    rows = [(1, base, "a"), (2, "HDR " + base, "a"),
+            (3, "another perfectly reasonable standalone document with plenty "
+                "of distinct words in it", "b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    curated, audit = curate(docs, min_quality=0.0, min_tokens=1,
+                            dedup_method="winnowing")
+    assert sorted(r.doc_id for r in curated.collect()) == [1, 3]
+    stages = {r.stage: r.rows_surviving for r in audit.collect()}
+    assert stages["input"] == 3 and stages["dedup"] == 2
