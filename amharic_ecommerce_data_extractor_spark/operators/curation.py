@@ -31,6 +31,7 @@ def curate(
     hash_fn: str = "xxhash64",
     pair_mode: str = "star",
     dedup_method: str = "minhash",
+    winnow_min_shared: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (curated_docs, audit). audit: one row per stage with rows
     surviving — the per-stage lineage a data steward reads.
@@ -41,7 +42,11 @@ def curate(
     O(bucket²) edges for full verification recall on similarity chains.
     dedup_method='winnowing' swaps the near-dup edge source from MinHash
     resemblance to MOSS fingerprint overlap (verbatim-run containment —
-    catches boilerplate-level copying; see dedup.dedup)."""
+    catches boilerplate-level copying; see dedup.dedup). NOTE:
+    near_dup_threshold and pair_mode govern the MINHASH method only; the
+    winnowing method is tuned by winnow_min_shared (its edge bar) and
+    ignores both — passing them alongside dedup_method='winnowing' has no
+    effect."""
     # each stage is persisted before the audit count — otherwise every
     # count() action recomputes the whole upstream chain (incl. MinHash+CC).
     # The raw input is persisted too: the audit's "input" count is the action
@@ -49,38 +54,51 @@ def curate(
     # several times: exact-hash pass + shingle pass) then reads the cached
     # copy instead of rescanning the source — one source scan total.
     docs = docs.persist()
-    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+    deduped = filtered = None
+    try:
+        stages: list[tuple[str, DataFrame]] = [("input", docs)]
 
-    deduped = dedup(docs, id_col=id_col, text_col=text_col,
-                    threshold=near_dup_threshold, hash_fn=hash_fn,
-                    pair_mode=pair_mode, method=dedup_method).persist()
-    stages.append(("dedup", deduped))
+        deduped = dedup(docs, id_col=id_col, text_col=text_col,
+                        threshold=near_dup_threshold, hash_fn=hash_fn,
+                        pair_mode=pair_mode, method=dedup_method,
+                        winnow_min_shared=winnow_min_shared).persist()
+        stages.append(("dedup", deduped))
 
-    scored = deduped.withColumn("quality", ts.quality_score(F.col(text_col))) \
-                    .withColumn("n_tokens", ts.whitespace_token_count(F.col(text_col))) \
-                    .withColumn("script", ts.detect_script(F.col(text_col)))
-    filtered = scored.where(
-        (F.col("quality") >= min_quality)
-        & (F.col("n_tokens") >= min_tokens)
-        & (F.col("n_tokens") <= max_tokens)).persist()
-    stages.append(("quality_and_length", filtered))
+        scored = deduped.withColumn("quality", ts.quality_score(F.col(text_col))) \
+                        .withColumn("n_tokens", ts.whitespace_token_count(F.col(text_col))) \
+                        .withColumn("script", ts.detect_script(F.col(text_col)))
+        filtered = scored.where(
+            (F.col("quality") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)).persist()
+        stages.append(("quality_and_length", filtered))
 
-    curated = filtered
-    if per_source_cap is not None and source_col in docs.columns:
-        w = Window.partitionBy(source_col).orderBy(F.desc("quality"), F.asc(id_col))
-        curated = (filtered.withColumn("_rn", F.row_number().over(w))
-                   .where(F.col("_rn") <= per_source_cap).drop("_rn"))
-        stages.append(("per_source_cap", curated))
+        curated = filtered
+        if per_source_cap is not None and source_col in docs.columns:
+            w = Window.partitionBy(source_col).orderBy(F.desc("quality"), F.asc(id_col))
+            curated = (filtered.withColumn("_rn", F.row_number().over(w))
+                       .where(F.col("_rn") <= per_source_cap).drop("_rn"))
+            stages.append(("per_source_cap", curated))
 
-    spark = docs.sparkSession
-    audit = spark.createDataFrame(
-        [(i, name, df.count()) for i, (name, df) in enumerate(stages)],
-        "stage_idx int, stage string, rows_surviving long")
-    curated = curated.persist()
-    curated.count()  # materialize before releasing the upstream caches
+        spark = docs.sparkSession
+        audit = spark.createDataFrame(
+            [(i, name, df.count()) for i, (name, df) in enumerate(stages)],
+            "stage_idx int, stage string, rows_surviving long")
+        curated = curated.persist()
+        curated.count()  # materialize before releasing the upstream caches
+    except BaseException:
+        for df_ in (docs, deduped, filtered):
+            if df_ is not None:
+                df_.unpersist()
+        raise
     docs.unpersist()
     deduped.unpersist()
-    filtered.unpersist()
+    if curated is not filtered:
+        # without a per-source cap, curated IS the filtered frame (persist()
+        # returns self) — unpersisting it here would silently drop the cache
+        # just materialized and make the caller's first action recompute the
+        # whole dedup pipeline
+        filtered.unpersist()
     return curated, audit
 
 

@@ -306,12 +306,12 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
     the start of the string, so unchunked extraction of all k-grams is O(L²)
     byte scans per document — fine at typical document lengths (300 chars →
     ~10⁵ byte touches), quadratic-blowup at book length. Measured
-    (scripts/time_winnowing_chunking.py, 4 docs/length, identical
-    selections): doc length 16k/64k/256k chars → unchunked 1.4/11.3/173.8 s
-    vs chunked 3.0/2.0/8.8 s — ~16× more time per 4× length unchunked
-    (the chunked fixed overhead only pays for itself past ~30k chars; below
-    that both are sub-second per doc and the bound is moot). It is the
-    default because the
+    (scripts/time_winnowing_chunking.py, 4 docs/length, selection SETS
+    certified identical by xxhash set-hash): doc length 16k/64k/256k chars
+    → unchunked 1.2/11.2/170.7 s vs chunked 2.3/2.1/6.5 s — ~15× more time
+    per 4× length unchunked (the chunked fixed overhead only pays for
+    itself past ~30k chars; below that both are sub-second per doc and the
+    bound is moot). It is the default because the
     footgun is silent and the chunked result is selection-for-selection
     identical (test_winnowing_chunked_equals_unchunked); pass max_chars=None
     only when documents are known-bounded and you want the absolutely

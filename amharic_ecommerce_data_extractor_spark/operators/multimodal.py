@@ -249,8 +249,11 @@ def _audio_features_stub(payload: bytes) -> dict:
             "duration_s": float(len(mono) / rate),
             "rms": float(np.sqrt(np.mean(mono * mono))),
             "peak": float(np.max(np.abs(mono))),
-            "zero_cross_rate": float(np.mean(np.signbit(mono[1:])
-                                             != np.signbit(mono[:-1]))),
+            # single-frame clip: no sample pairs to cross, rate is 0 (a bare
+            # np.mean over the empty comparison would yield NaN + a warning)
+            "zero_cross_rate": (float(np.mean(np.signbit(mono[1:])
+                                              != np.signbit(mono[:-1])))
+                                if len(mono) > 1 else 0.0),
         }
     h = hashlib.sha256(payload).digest()
     return {

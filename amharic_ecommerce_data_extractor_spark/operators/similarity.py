@@ -223,7 +223,8 @@ def ivf_sizing(n_vectors: int, max_cells: int | None = None) -> tuple[int, int]:
 def ivf_train_centroids(corpus: DataFrame, n_cells: int = 16, dim: int = 64,
                         sample_size: int = 4096, iters: int = 10,
                         vec_col: str = "embedding", seed: int = 42,
-                        size_hint: int | None = None):
+                        size_hint: int | None = None,
+                        max_cells: int | None = None):
     """Lloyd's k-means on a driver-side sample (numpy); returns
     list[list[float]] centroids. The sample is tiny and the centroids are
     broadcast as literals — training cost is independent of corpus size.
@@ -232,7 +233,11 @@ def ivf_train_centroids(corpus: DataFrame, n_cells: int = 16, dim: int = 64,
     pass ``size_hint=<approx corpus row count>`` to derive both from the
     √n / 50-per-cell rule instead (see ``ivf_sizing``) — the production
     setting, where hard-coding 16 cells would leave each cell at n/16 rows
-    and probes effectively un-pruned.
+    and probes effectively un-pruned. Precedence is explicit: size_hint
+    REPLACES any n_cells/sample_size values (do not pass both); bound the
+    derived cell count — and with it the driver-side sample — via
+    ``max_cells`` (√10⁹ cells implies a ~1.6M-vector sample, the
+    driver-memory case ``ivf_sizing``'s docstring quantifies).
 
     Sampling is reservoir-style (takeSample) — UNBIASED across partitions.
     limit()-sampling would take the first partitions only, mis-centering the
@@ -241,7 +246,7 @@ def ivf_train_centroids(corpus: DataFrame, n_cells: int = 16, dim: int = 64,
     import numpy as np
 
     if size_hint is not None:
-        n_cells, sample_size = ivf_sizing(size_hint)
+        n_cells, sample_size = ivf_sizing(size_hint, max_cells=max_cells)
 
     rows = corpus.select(vec_col).rdd.takeSample(False, sample_size, seed)
     x = np.array([list(r[0]) for r in rows], dtype=np.float64)

@@ -1415,8 +1415,11 @@ def q37(spark, sf_dir):
     from amharic_ecommerce_data_extractor_spark.operators.curation import curate
 
     docs = _t(spark, sf_dir, "documents")
-    _, audit = curate(docs, min_quality=0.3, min_tokens=5, per_source_cap=100,
-                      hash_fn="md5")
+    curated, audit = curate(docs, min_quality=0.3, min_tokens=5,
+                            per_source_cap=100, hash_fn="md5")
+    # audit is already driver-local; release the curated cache rather than
+    # holding two corpora of blocks across the rest of the bench session
+    curated.unpersist()
     return audit
 
 
@@ -1624,7 +1627,9 @@ def q37p(spark, sf_dir):
     from amharic_ecommerce_data_extractor_spark.operators.curation import curate
 
     docs = _t(spark, sf_dir, "documents")
-    _, audit = curate(docs, min_quality=0.3, min_tokens=5, per_source_cap=100)
+    curated, audit = curate(docs, min_quality=0.3, min_tokens=5,
+                            per_source_cap=100)
+    curated.unpersist()  # same cache-release as q37
     return audit
 
 

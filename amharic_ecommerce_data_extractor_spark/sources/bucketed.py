@@ -52,9 +52,24 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
 
 
 def is_shuffle_free_join(joined: DataFrame) -> bool:
-    """True when the executed plan contains a join but no shuffle exchange —
-    the co-location check the tests pin. AQE keeps the exchanges visible in
-    the final plan string when they exist, so absence is meaningful."""
+    """True when the plan's first shuffle-join (SortMergeJoin /
+    ShuffledHashJoin) is fed by no shuffle exchange — the co-location probe
+    the tests pin. Only the JOIN'S INPUTS count: physical plans print
+    parents above children, so exchanges introduced by operators layered on
+    top of the join (a groupBy on another key, an orderBy) appear BEFORE
+    the join line and are ignored; exchanges feeding the join appear after
+    it. Broadcast joins return False — they have no co-location question
+    (nothing shuffles regardless of layout); this probe is specifically
+    "did bucketing remove the shuffle from a shuffle join". AQE keeps
+    exchanges visible in the final plan string when they exist, so absence
+    is meaningful."""
     plan = joined._jdf.queryExecution().executedPlan().toString()
-    has_join = "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-    return has_join and "Exchange hashpartitioning" not in plan
+    # an executed AQE plan appends an "== Initial Plan ==" section that
+    # re-prints the pre-adaptive tree — only the final plan is the verdict
+    plan = plan.split("== Initial Plan ==", 1)[0]
+    lines = plan.splitlines()
+    join_at = next((i for i, ln in enumerate(lines)
+                    if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln), None)
+    if join_at is None:
+        return False
+    return not any("Exchange hashpartitioning" in ln for ln in lines[join_at:])

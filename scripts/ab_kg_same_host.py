@@ -21,6 +21,7 @@ import argparse
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -78,7 +79,7 @@ def main() -> None:
                   for p in pairs],
         "best_a": max(p["a_tps"] for p in pairs),
         "best_b": max(p["b_tps"] for p in pairs),
-        "median_b_over_a": sorted(p["b_over_a"] for p in pairs)[len(pairs) // 2],
+        "median_b_over_a": round(statistics.median(p["b_over_a"] for p in pairs), 4),
         "detail": pairs}))
 
 

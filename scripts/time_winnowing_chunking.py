@@ -62,11 +62,17 @@ def main() -> None:
         for mode, max_chars in (("chunked", 8192), ("unchunked", None)):
             t0 = time.perf_counter()
             fp = winnowing_fingerprints(docs, max_chars=max_chars)
-            n = fp.count()
-            results[mode] = (round(time.perf_counter() - t0, 3), n)
+            # count + order-insensitive set hash of (id, pos, fp) in ONE
+            # aggregation pass: the timed action also certifies the chunked
+            # and unchunked SELECTION SETS are identical, not just
+            # equinumerous (bit_xor, not sum: no ANSI long overflow)
+            from pyspark.sql import functions as F
+
+            row = fp.agg(F.count("*").alias("n"),
+                         F.expr("bit_xor(xxhash64(id, pos, fp))").alias("h")).collect()[0]
+            results[mode] = (round(time.perf_counter() - t0, 3),
+                             (row["n"], row["h"]))
         docs.unpersist()
-        # same selection set both ways (count-level here; the exact set
-        # identity incl. positions is the gating unit test)
         if results["chunked"][1] != results["unchunked"][1]:
             out["selections_equal"] = False
         out["unchunked_sec"].append(results["unchunked"][0])

@@ -50,6 +50,13 @@ def test_bucketed_join_is_shuffle_free_and_value_equal(spark, no_broadcast):
         pj = meta.join(ents, "message_id")
         pj.collect()
         assert not is_shuffle_free_join(pj)
+
+        # an exchange introduced ABOVE the join (groupBy on a non-bucket
+        # key) must not flip the verdict — only the join's inputs count
+        down = bj.groupBy("vendor_id").agg(F.count("*").alias("n"))
+        down.collect()
+        assert is_shuffle_free_join(down), \
+            down._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.sql("DROP TABLE IF EXISTS t_meta_b")
         spark.sql("DROP TABLE IF EXISTS t_ents_b")
