@@ -53,8 +53,14 @@ def curate(
     # that populates the cache, and the dedup stage (which reads the input
     # several times: exact-hash pass + shingle pass) then reads the cached
     # copy instead of rescanning the source — one source scan total.
-    docs = docs.persist()
-    deduped = filtered = None
+    # persist/unpersist is not refcounted in Spark: if the CALLER already
+    # persisted docs (for their own reuse), persisting again is a no-op and
+    # unpersisting at the end would silently evict the caller's cache — so
+    # the input cache is only taken (and later released) when we created it.
+    caller_cached = docs.storageLevel.useMemory or docs.storageLevel.useDisk
+    if not caller_cached:
+        docs = docs.persist()
+    deduped = filtered = curated = None
     try:
         stages: list[tuple[str, DataFrame]] = [("input", docs)]
 
@@ -87,11 +93,18 @@ def curate(
         curated = curated.persist()
         curated.count()  # materialize before releasing the upstream caches
     except BaseException:
-        for df_ in (docs, deduped, filtered):
-            if df_ is not None:
-                df_.unpersist()
+        # release every cache this call created; `curated is filtered` when
+        # no per-source cap applied (persist() returns self), so dedupe by
+        # identity to avoid double-unpersist of the same frame
+        created = [] if caller_cached else [docs]
+        for df_ in (deduped, filtered, curated):
+            if df_ is not None and not any(df_ is c for c in created):
+                created.append(df_)
+        for df_ in created:
+            df_.unpersist()
         raise
-    docs.unpersist()
+    if not caller_cached:
+        docs.unpersist()
     deduped.unpersist()
     if curated is not filtered:
         # without a per-source cap, curated IS the filtered frame (persist()

@@ -63,6 +63,8 @@ def is_shuffle_free_join(joined: DataFrame) -> bool:
     "did bucketing remove the shuffle from a shuffle join". AQE keeps
     exchanges visible in the final plan string when they exist, so absence
     is meaningful."""
+    import re
+
     plan = joined._jdf.queryExecution().executedPlan().toString()
     # an executed AQE plan appends an "== Initial Plan ==" section that
     # re-prints the pre-adaptive tree — only the final plan is the verdict
@@ -72,4 +74,20 @@ def is_shuffle_free_join(joined: DataFrame) -> bool:
                     if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln), None)
     if join_at is None:
         return False
-    return not any("Exchange hashpartitioning" in ln for ln in lines[join_at:])
+
+    # walk only the JOIN'S OWN SUBTREE: tree printing is pre-order, so a
+    # later sibling subtree of an ancestor (e.g. the second branch of a
+    # union above the join) also prints after the join line — but at an
+    # indent depth <= the join's, which is where the subtree ends. Counting
+    # only deeper lines keeps an unrelated exchange in such a branch from
+    # flipping the verdict to a false "not shuffle-free".
+    def depth(ln: str) -> int:
+        return len(re.match(r"^[\s:+-]*", ln).group(0))
+
+    d_join = depth(lines[join_at])
+    for ln in lines[join_at + 1:]:
+        if ln.strip() and depth(ln) <= d_join:
+            break
+        if "Exchange hashpartitioning" in ln:
+            return False
+    return True

@@ -83,9 +83,16 @@ def stateful_vendor_totals(messages: DataFrame) -> DataFrame:
         for pdf in pdfs:
             n += len(pdf)
             views += int(pdf["views"].fillna(0).sum())
+            # pandas .max() over an all-null batch yields NaT, not None, and
+            # NaT comparisons are always False — guard with pd.notna so an
+            # all-null first batch can't pin last_seen past later real
+            # timestamps (matches the oracle's null-ignoring max(ts))
             batch_last = pdf["message_date"].max()
-            if last is None or (batch_last is not None and batch_last > last):
+            if pd.notna(batch_last) and (last is None or pd.isna(last)
+                                         or batch_last > last):
                 last = batch_last
+        if last is not None and pd.isna(last):
+            last = None
         state.update((n, views, last))
         yield pd.DataFrame([{"vendor": key[0], "n_posts": n,
                              "total_views": views, "last_seen": last}])

@@ -27,6 +27,16 @@ import sys
 import time
 
 
+def _loadavg() -> float:
+    """1-minute host load average — recorded before/after every timed unit so
+    a driver-vs-builder timing discrepancy is adjudicable from the artifact
+    alone (external host load was the r4 q37/q42 ambiguity)."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - getloadavg always works on linux
+        return -1.0
+
+
 def _has_taskset() -> bool:
     import shutil as _sh
 
@@ -87,6 +97,7 @@ def run_kg(spark, n_messages: int, corpus_path: str | None = None) -> dict:
                 .write.parquet(corpus_path)
 
         cores = spark.sparkContext.defaultParallelism
+        la0 = _loadavg()
         t0 = time.perf_counter()
         msgs = spark.read.parquet(corpus_path)
         ext_path = f"{workdir}/extracted"
@@ -124,6 +135,7 @@ def run_kg(spark, n_messages: int, corpus_path: str | None = None) -> dict:
         "scorecard_sec": round(t_score, 3),
         "triples_per_sec": round(n_triples / elapsed, 1),
         "messages_per_sec": round(n_messages / elapsed, 1),
+        "load_1m": [la0, _loadavg()],
     }
 
 
@@ -137,10 +149,13 @@ def run_full(sf_dir: str, cpus: int) -> dict:
     _warm_python_workers(spark, cpus)
 
     timings: dict[str, float] = {}
+    loads: dict[str, list[float]] = {}
     for name, fn in sorted(SPARK_QUERIES.items()):
+        la0 = _loadavg()
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        loads[name] = [la0, _loadavg()]
 
     # 2M messages at sf0.1: large enough that the recorded triples/sec is
     # dominated by pipeline work, not per-action fixed costs (generation is
@@ -160,6 +175,7 @@ def run_full(sf_dir: str, cpus: int) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "load_1m": loads,
         "sf": sf,
         "cpus": cpus,
         "kg": kg,
@@ -238,7 +254,9 @@ def run_scaling(sf_dir: str, levels=(2, 8), messages: int | None = None,
                 t_lo = r_lo["kg"]["triples_per_sec"]
                 t_hi = r_hi["kg"]["triples_per_sec"]
                 pairs.append({"lo": t_lo, "hi": t_hi,
-                              "efficiency": round((t_hi / t_lo) / (hi / lo), 4)})
+                              "efficiency": round((t_hi / t_lo) / (hi / lo), 4),
+                              "load_1m_lo": r_lo["kg"].get("load_1m"),
+                              "load_1m_hi": r_hi["kg"].get("load_1m")})
                 for cpus, r in ((lo, r_lo), (hi, r_hi)):
                     if cpus not in results or r["kg"]["triples_per_sec"] > \
                             results[cpus]["kg"]["triples_per_sec"]:

@@ -29,3 +29,20 @@ def test_curate_documents(spark, sf_dir):
 
     rep = token_budget_report(curated).collect()[0]
     assert rep["ws_tokens"] > 0 and rep["bpe_ish_tokens"] >= rep["ws_tokens"]
+
+
+def test_curate_preserves_caller_cache(spark, sf_dir):
+    """persist/unpersist is not refcounted: curate() must not evict a cache
+    the CALLER created on the input frame (it only releases caches it took
+    itself)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    try:
+        docs.count()
+        curated, audit = curate(docs, min_quality=0.0, min_tokens=1)
+        audit.collect()
+        lvl = docs.storageLevel
+        assert lvl.useMemory or lvl.useDisk, \
+            "curate() evicted the caller's cache on the input frame"
+        assert curated.count() > 0
+    finally:
+        docs.unpersist()
