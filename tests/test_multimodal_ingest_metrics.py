@@ -341,3 +341,94 @@ def test_audio_real_marker_raises(spark):
         [(0, "audio", "audio/flac", bytearray(b"REALflacbytes"), {})], MEDIA_SCHEMA)
     with _pytest.raises(Exception, match="codec"):
         extract_audio_features(media).collect()
+
+
+def _make_avi(frames, width, height):
+    """Minimal uncompressed-RGB RIFF AVI: LIST hdrl (avih with dims) +
+    LIST strl (skipped by the parser) + LIST movi of 00db DIB frames
+    (bottom-up BGR rows, 4-byte padded — the BMP pixel layout)."""
+    import struct as st
+
+    import numpy as np
+
+    def chunk(cid, body):
+        return cid + st.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    avih = st.pack("<IIIIIIIIII", 33333, 0, 0, 0, len(frames), 0, 1, 0,
+                   width, height) + b"\x00" * 16
+    strh = b"vids" + b"DIB " + b"\x00" * 48
+    strf = st.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    row_bytes = (width * 3 + 3) & ~3
+    bodies = b""
+    for fr in frames:
+        bgr = fr[::-1, :, ::-1].astype(np.uint8)          # bottom-up, BGR
+        padded = np.zeros((height, row_bytes), dtype=np.uint8)
+        padded[:, :width * 3] = bgr.reshape(height, width * 3)
+        bodies += chunk(b"00db", padded.tobytes())
+    movi = lst(b"movi", bodies)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + st.pack("<I", len(riff_body)) + riff_body
+
+
+def test_real_video_decode_avi(spark):
+    import hashlib
+
+    import numpy as np
+
+    from amharic_ecommerce_data_extractor_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_video_frames,
+    )
+
+    w, h = 6, 4  # width*3 = 18 -> 20-byte padded rows (exercises padding)
+    # frame i is a uniform gray level 10*i: every 4x4 grid cell mean is
+    # exactly (10*i)/255 -- pinnable statistics
+    frames = [np.full((h, w, 3), 10 * i, dtype=np.uint8) for i in range(7)]
+    junk = b"definitely not a video"
+    rows = [(0, "video", "video/avi", bytearray(_make_avi(frames, w, h)), {}),
+            (1, "video", "video/mp4", bytearray(junk), {}),
+            (2, "audio", "audio/wav", bytearray(b"skip"), {})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = [tuple(r) for r in extract_video_frames(media, every_n=3)
+           .orderBy("media_id", "frame_idx").collect()]
+
+    real = [g for g in got if g[0] == 0]
+    # frames 0, 3, 6 sampled; real dims + frame count
+    assert [(g[1], g[2], g[3], g[4]) for g in real] == \
+        [(0, w, h, 7), (3, w, h, 7), (6, w, h, 7)]
+    for g in real:
+        expect = (10 * g[1]) / 255.0
+        assert len(g[5]) == 16
+        assert all(abs(v - expect) < 1e-6 for v in g[5]), (g[1], g[5][:3])
+
+    # undecodable payload: deterministic sha-derived fake frames
+    dig = hashlib.sha256(junk).digest()
+    n_fake = 1 + dig[2] % 120
+    fake = [g for g in got if g[0] == 1]
+    assert [g[1] for g in fake] == list(range(0, n_fake, 3))
+    assert fake[0][2] == 64 + dig[0] % 192 and fake[0][3] == 64 + dig[1] % 192
+
+    # determinism
+    again = [tuple(r) for r in extract_video_frames(media, every_n=3)
+             .orderBy("media_id", "frame_idx").collect()]
+    assert again == got
+
+
+def test_video_real_marker_raises(spark):
+    import pytest as _pytest
+
+    from amharic_ecommerce_data_extractor_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_video_frames,
+    )
+
+    media = spark.createDataFrame(
+        [(9, "video", "video/mp4", bytearray(b"REAL-mp4-payload"), {})],
+        MEDIA_SCHEMA)
+    with _pytest.raises(Exception, match="NotImplementedError|video codec"):
+        extract_video_frames(media).collect()
