@@ -79,6 +79,7 @@ def run_pipeline(
     n_chunks: int = 8,
     lsh_threshold: float = 0.6,
     verify_lineage: bool = False,
+    n_buckets: int = 16,
 ) -> dict:
     """Checkpoint format: parquet in this sandbox; set
     SPARK_GRAFT_CHECKPOINT_FORMAT=iceberg (with the runtime jar + catalog
@@ -113,12 +114,33 @@ def run_pipeline(
         spark, workdir, "ingest", build_ingest, partition_by=[ckpt.CHUNK_COL]))
     assert ckpt.verify_sha256_invariant(messages) == 0, "sha256 invariant broken at ingest"
 
-    # Stage 1: extract (chunked: intra-stage resume; chunk filter prunes
-    # ingest partitions)
-    extracted = timed("extract", lambda: ckpt.chunked_stage(
-        spark, workdir, "extract", messages,
-        lambda part: extract_entities(part).drop(ckpt.CHUNK_COL),
-        n_chunks=n_chunks))
+    # Stage 1 + 1b: chunked extract (intra-stage resume; chunk filter prunes
+    # ingest partitions), finalized as ONE message_id-bucketed table
+    # (sources/bucketed.py layout at the checkpoint layer). The bucket
+    # shuffle is paid here once, per pipeline run ever (the stage resumes
+    # like any other); every downstream consumer that joins or groups on
+    # message_id — the predictions ⋈ metadata join of the reference
+    # scorecard path (vendor_scorecard.py:64-67, operators/rollup.py
+    # join_message_meta) — then plans with NO exchange off this table
+    # (tests/test_pipeline_bucketed.py pins the exchange-free plan). The
+    # expensive Python extraction keeps its per-chunk resume; this JVM-only
+    # rewrite is the cheap tail of the stage. On Iceberg the same layout is
+    # the bucket(n, message_id) partition transform.
+    #
+    # The chunked stage runs INSIDE the finalize's build closure: once the
+    # extract_bucketed marker exists, a resume never consults the chunk
+    # dirs, so a space-constrained deployment can reclaim the 2× extract
+    # storage with ckpt.gc_chunk_dirs(workdir, "extract",
+    # "extract_bucketed") — the chunk dirs are resume points only, never
+    # read again by later stages (tests/test_pipeline_bucketed.py pins the
+    # post-GC resume).
+    extracted = timed("extract_bucketed", lambda: ckpt.run_stage(
+        spark, workdir, "extract_bucketed",
+        lambda: timed("extract", lambda: ckpt.chunked_stage(
+            spark, workdir, "extract", messages,
+            lambda part: extract_entities(part).drop(ckpt.CHUNK_COL),
+            n_chunks=n_chunks)),
+        bucket_by=("message_id", n_buckets)))
     assert ckpt.verify_sha256_invariant(extracted) == 0, "sha256 invariant broken at extract"
 
     # Stage 2: raw triples
@@ -159,13 +181,18 @@ def run_pipeline(
     }
     if verify_lineage:
         results = {}
-        for stage in ("ingest", "triples", "link", "graph_triples",
-                      "graph_nodes", "scorecard", "graph_features"):
+        for stage in ("ingest", "extract_bucketed", "triples", "link",
+                      "graph_triples", "graph_nodes", "scorecard",
+                      "graph_features"):
             results[stage] = ckpt.verify_stage_lineage(
                 spark, os.path.join(workdir, stage))["ok"]
-        for chunk_dir in sorted(
-                d for d in os.listdir(os.path.join(workdir, "extract"))
-                if d.startswith("chunk=")):
+        # chunk dirs are resume points; absent after gc_chunk_dirs (the
+        # bucketed finalize is then the only extract copy — verified above)
+        extract_dir = os.path.join(workdir, "extract")
+        chunk_dirs = sorted(
+            d for d in os.listdir(extract_dir)
+            if d.startswith("chunk=")) if os.path.isdir(extract_dir) else []
+        for chunk_dir in chunk_dirs:
             results[f"extract/{chunk_dir}"] = ckpt.verify_stage_lineage(
                 spark, os.path.join(workdir, "extract", chunk_dir))["ok"]
         assert all(results.values()), f"lineage verification failed: {results}"

@@ -94,31 +94,88 @@ def lineage_frame(df: DataFrame) -> DataFrame:
             .groupBy("partition_id").agg(*aggs))
 
 
+def _bucket_table_name(stage_dir: str) -> str:
+    """Deterministic catalog identifier for a bucketed stage checkpoint —
+    derived from the absolute stage path so every session (including a
+    resume in a fresh JVM) computes the same name."""
+    import hashlib
+
+    digest = hashlib.md5(os.path.abspath(stage_dir).encode()).hexdigest()[:12]
+    return f"kg_ckpt_{digest}"
+
+
+def _register_bucketed_table(spark: SparkSession, stage_dir: str,
+                             bucket_by: tuple[str, int]) -> str:
+    """Ensure the catalog knows the bucketed stage table (a resume in a new
+    session loses the in-memory catalog entry but not the files): recreate
+    the EXTERNAL table over the existing bucketed parquet files. Spark
+    recovers each file's bucket id from its `_SSSSS` filename tag, so a
+    DDL-registered table reads exactly like the originally written one."""
+    table = _bucket_table_name(stage_dir)
+    if not spark.catalog.tableExists(table):
+        data_path = os.path.join(stage_dir, "data")
+        col, n = bucket_by
+        ddl = spark.read.parquet(data_path)._jdf.schema().toDDL()
+        spark.sql(
+            f"CREATE TABLE {table} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({col}) SORTED BY ({col}) INTO {n} BUCKETS "
+            f"LOCATION '{data_path}'")
+    return table
+
+
 def write_stage(df: DataFrame, stage_dir: str, stage: str,
                 partition_by: list[str] | None = None,
-                fmt: str = "parquet") -> None:
+                fmt: str = "parquet",
+                bucket_by: tuple[str, int] | None = None) -> None:
     """Checkpoint one stage. fmt dispatches the sink format: 'parquet'
     (sandbox default) or any registered table format — the north rule names
     Iceberg, so production runs pass fmt='iceberg' and the partition spec
     flows through partition_by unchanged (Iceberg's committer replaces the
     _STAGE_DONE marker's atomicity role, but the marker stays as the
-    resume signal either way)."""
+    resume signal either way).
+
+    bucket_by=(col, n_buckets): write the checkpoint as an EXTERNAL bucketed
+    catalog table whose files live at the stage's own data path — the
+    write-once-shuffle-never-again layout (sources/bucketed.py): the bucket
+    shuffle is paid here ONCE, and every downstream join/groupBy on the
+    bucket key off this checkpoint plans with no exchange. Parquet-only in
+    the sandbox (mutually exclusive with partition_by here); on Iceberg the
+    equivalent is the `bucket(n, col)` partition transform. The spec is
+    committed in the marker so a resume re-registers the table by DDL."""
     t0 = time.perf_counter()
     data_path = os.path.join(stage_dir, "data")
-    w = df.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.format(fmt).save(data_path)
-
     spark = df.sparkSession
-    out = spark.read.format(fmt).load(data_path)
+    if bucket_by is not None:
+        if fmt != "parquet":
+            raise ValueError(
+                "bucket_by checkpoints are parquet-only in the sandbox; on "
+                "Iceberg use the bucket(n, col) partition transform instead")
+        if partition_by:
+            raise ValueError("bucket_by and partition_by are mutually "
+                             "exclusive for stage checkpoints")
+        col, n = bucket_by
+        table = _bucket_table_name(stage_dir)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (df.write.mode("overwrite").format(fmt).option("path", data_path)
+         .bucketBy(n, col).sortBy(col).saveAsTable(table))
+        out = spark.table(table)
+    else:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.format(fmt).save(data_path)
+        out = spark.read.format(fmt).load(data_path)
+
     lin = lineage_frame(out)
     lin.write.mode("overwrite").parquet(os.path.join(stage_dir, "_lineage"))
     n_rows = int(spark.read.parquet(os.path.join(stage_dir, "_lineage"))
                  .agg(F.sum("n_rows")).collect()[0][0] or 0)
+    marker = {"stage": stage, "rows": n_rows, "fmt": fmt,
+              "seconds": round(time.perf_counter() - t0, 3)}
+    if bucket_by is not None:
+        marker["bucket_by"] = [bucket_by[0], bucket_by[1]]
     with open(_marker_path(stage_dir), "w", encoding="utf-8") as f:
-        json.dump({"stage": stage, "rows": n_rows, "fmt": fmt,
-                   "seconds": round(time.perf_counter() - t0, 3)}, f)
+        json.dump(marker, f)
 
 
 def checkpoint_format() -> str:
@@ -155,19 +212,36 @@ def _resolve_resume_format(stage_dir: str, fmt: str) -> str:
 
 def run_stage(spark: SparkSession, workdir: str, stage: str, build,
               partition_by: list[str] | None = None,
-              fmt: str | None = None) -> DataFrame:
+              fmt: str | None = None,
+              bucket_by: tuple[str, int] | None = None) -> DataFrame:
     """Compute-or-resume: if the stage marker exists, read the checkpoint;
     otherwise build(), checkpoint, and read back (truncating lineage).
     partition_by lays the checkpoint out hive-partitioned — downstream
-    filters on those columns become partition pruning, not data scans."""
+    filters on those columns become partition pruning, not data scans.
+    bucket_by=(col, n) lays it out as a bucketed table — downstream
+    joins/groupBys on the key plan with no exchange (see write_stage); the
+    returned frame is the catalog-table read, which is what carries the
+    bucket spec (a bare path read silently drops it)."""
     fmt = fmt or checkpoint_format()
     stage_dir = os.path.join(workdir, stage)
     data_path = os.path.join(stage_dir, "data")
     if not stage_done(stage_dir):
         os.makedirs(stage_dir, exist_ok=True)
-        write_stage(build(), stage_dir, stage, partition_by=partition_by, fmt=fmt)
+        write_stage(build(), stage_dir, stage, partition_by=partition_by,
+                    fmt=fmt, bucket_by=bucket_by)
     else:
         fmt = _resolve_resume_format(stage_dir, fmt)
+        with open(_marker_path(stage_dir), encoding="utf-8") as f:
+            committed_bucket = json.load(f).get("bucket_by")
+        if bucket_by is not None and (
+                committed_bucket is None or list(bucket_by) != committed_bucket):
+            raise ValueError(
+                f"bucketed-checkpoint resume mismatch at {stage_dir}: "
+                f"committed bucket_by={committed_bucket} vs requested "
+                f"{list(bucket_by)}; delete the stage dir to rewrite it")
+        bucket_by = tuple(committed_bucket) if committed_bucket else None
+    if bucket_by is not None:
+        return spark.table(_register_bucketed_table(spark, stage_dir, bucket_by))
     return spark.read.format(fmt).load(data_path)
 
 
@@ -199,6 +273,14 @@ def chunked_stage(
     stage_dir = os.path.join(workdir, stage)
     os.makedirs(stage_dir, exist_ok=True)
     fmt = fmt or checkpoint_format()
+    if stage_done(stage_dir):
+        with open(_marker_path(stage_dir), encoding="utf-8") as f:
+            if json.load(f).get("gc_chunks"):
+                raise ValueError(
+                    f"chunked_stage: chunk dirs at {stage_dir} were "
+                    f"garbage-collected after finalization (gc_chunk_dirs) "
+                    f"— read the finalized stage instead, or delete the "
+                    f"stage dir to recompute from scratch")
     manifest_path = os.path.join(stage_dir, "_CHUNK_MANIFEST")
     manifest = {"key_col": key_col, "n_chunks": n_chunks, "fmt": fmt}
     if os.path.exists(manifest_path):
@@ -241,6 +323,59 @@ def chunked_stage(
     with open(_marker_path(stage_dir), "w", encoding="utf-8") as f:
         json.dump({"stage": stage, "chunks": n_chunks}, f)
     return spark.read.format(fmt).load(os.path.join(stage_dir, "chunk=*", "data"))
+
+
+def gc_chunk_dirs(workdir: str, stage: str, finalized_stage: str) -> list[str]:
+    """Reclaim a chunked stage's per-chunk resume dirs once a finalize stage
+    over the same rows has committed (e.g. the pipeline's
+    extract → extract_bucketed rewrite: the chunk union and the bucketed
+    copy hold the same data twice; the chunk dirs are resume points only
+    and are never read again once the finalize marker exists).
+
+    Refuses to delete anything unless (a) the finalize stage's marker
+    exists AND (b) the finalize marker's committed row count equals the sum
+    of the chunk markers' row counts — a finalize that silently dropped
+    rows must not destroy the only copy that still has them. Returns the
+    removed chunk-dir paths (empty when already collected). The chunked
+    stage's own marker and manifest are kept and annotated
+    (``gc_chunks: true``); a later ``chunked_stage`` call on the collected
+    dir fails loudly on that flag rather than silently recomputing."""
+    import shutil
+
+    stage_dir = os.path.join(workdir, stage)
+    fin_dir = os.path.join(workdir, finalized_stage)
+    if not stage_done(fin_dir):
+        raise ValueError(
+            f"gc_chunk_dirs: finalize stage {fin_dir} has no marker — the "
+            f"chunk dirs are still the only committed copy")
+    with open(_marker_path(fin_dir), encoding="utf-8") as f:
+        fin_rows = json.load(f)["rows"]
+    chunk_dirs = sorted(
+        os.path.join(stage_dir, d) for d in os.listdir(stage_dir)
+        if d.startswith("chunk=")) if os.path.isdir(stage_dir) else []
+    if not chunk_dirs:
+        return []
+    chunk_rows = 0
+    for cdir in chunk_dirs:
+        if not stage_done(cdir):
+            raise ValueError(f"gc_chunk_dirs: incomplete chunk {cdir} — "
+                             f"the chunked stage never finished")
+        with open(_marker_path(cdir), encoding="utf-8") as f:
+            chunk_rows += json.load(f)["rows"]
+    if chunk_rows != fin_rows:
+        raise ValueError(
+            f"gc_chunk_dirs: finalize stage {fin_dir} committed {fin_rows} "
+            f"rows but the chunk markers sum to {chunk_rows} — refusing to "
+            f"delete the copy that disagrees")
+    for cdir in chunk_dirs:
+        shutil.rmtree(cdir)
+    if stage_done(stage_dir):
+        with open(_marker_path(stage_dir), encoding="utf-8") as f:
+            marker = json.load(f)
+        marker["gc_chunks"] = True
+        with open(_marker_path(stage_dir), "w", encoding="utf-8") as f:
+            json.dump(marker, f)
+    return chunk_dirs
 
 
 def verify_stage_lineage(spark: SparkSession, stage_dir: str,

@@ -69,8 +69,13 @@ def test_full_pipeline_and_resume(spark, tmp_path):
     s2 = run_pipeline(spark, wd, n_messages=400, n_chunks=4)
     assert s2["triples"] == s1["triples"]
     assert s2["nodes"] == s1["nodes"]
-    # extraction is pure read on resume — at least 3x faster than first run
-    assert s2["stage_seconds"]["extract"] < s1["stage_seconds"]["extract"]
+    # on resume the chunked extract is not even READ: the bucketed finalize
+    # marker short-circuits the whole build closure (the stronger form of
+    # the old "pure read is 3x faster" assertion)
+    assert "extract" in s1["stage_seconds"]
+    assert "extract" not in s2["stage_seconds"]
+    assert (s2["stage_seconds"]["extract_bucketed"]
+            < s1["stage_seconds"]["extract_bucketed"])
 
     # canonical triples keep the 4 predicates only
     preds = {r["pred"] for r in
