@@ -258,10 +258,19 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 50,
+                         stats: dict | None = None) -> DataFrame:
     """Undirected (src, dst) edges → (node, component) with component = min
     node id reachable. Isolated nodes absent from `edges` are handled by the
-    caller (left join + coalesce to self)."""
+    caller (left join + coalesce to self).
+
+    stats (optional out-param) receives {'rounds': r, 'converged': bool} —
+    the large/small-star iteration count actually executed. Test/ops hook:
+    lets callers pin the per-round cost (one ACTION per round — the lazy
+    localCheckpoint is materialized by the signature aggregate, never by a
+    separate checkpoint job; under AQE one action still fans out into one
+    tracked job per materialized exchange stage, so job counts scale with
+    rounds × plan-shuffle-stages, not rounds × 2)."""
     cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     cur = cur.localCheckpoint()
     # adaptive parallelism: entity-link edge sets are usually tiny and
@@ -274,18 +283,38 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     if small:
         cur = cur.repartition(8).localCheckpoint()
     prev_sig = None
+    rounds, converged = 0, False
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur))
         if small:
             nxt = nxt.coalesce(8)
         # lazy checkpoint: the signature action right below materializes it,
-        # so each iteration costs ONE job (not checkpoint-job + agg-job);
+        # so each iteration costs ONE action (not checkpoint-job + agg-job);
         # lineage is still truncated for the next round
         cur = nxt.localCheckpoint(eager=False)
         sig = _signature(cur)
+        rounds += 1
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # An unconverged edge set is NOT a fixed point: returning it maps
+        # some nodes to non-root intermediates (silently wrong components).
+        # Worst-case round count is ~log2(graph diameter) — measured 21 on a
+        # 10^6-node path (tests/test_cc_stress.py) — so the default cap of
+        # 50 covers any realistic diameter; hitting it means something is
+        # structurally off. Warn loudly rather than raise (callers on
+        # near-dup graphs have tiny diameters and may cap deliberately).
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not reach a fixed point within "
+            f"max_iter={max_iter} rounds; component ids may be non-minimal",
+            RuntimeWarning, stacklevel=2)
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     # fixed point: every edge points node → component root
     comp = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = comp.select(F.col("component").alias("node"),

@@ -50,8 +50,27 @@ def test_connected_components_vs_union_find(spark, n, m, seed):
 def test_connected_components_chain(spark):
     # worst-case diameter: a long path — star algorithm converges in O(log n)
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
-    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    stats = {}
+    got = {r["node"]: r["component"]
+           for r in connected_components(df, stats=stats).collect()}
     assert got == {i: 0 for i in range(41)}
+    assert stats["converged"] and stats["rounds"] < 50
+
+
+def test_connected_components_warns_when_capped(spark):
+    # max_iter too small for the diameter → loud RuntimeWarning instead of a
+    # silently-non-minimal component mapping (the result may still be built,
+    # but the caller is told it is not a certified fixed point)
+    import warnings
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
+    stats = {}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(df, max_iter=1, stats=stats)
+    assert not stats["converged"] and stats["rounds"] == 1
+    assert any("fixed point" in str(w.message) for w in caught
+               if issubclass(w.category, RuntimeWarning))
 
 
 def test_lsh_finds_near_duplicates(spark):
