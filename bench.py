@@ -182,6 +182,90 @@ def run_full(sf_dir: str, cpus: int) -> dict:
     }
 
 
+def run_streaming(messages: int = 1_000_000, cpus: int | None = None) -> dict:
+    """Batch vs streaming throughput for the SAME triples pipeline on the
+    SAME corpus — the steady-state number q47/q49/q50 can't show (at sf0.1
+    their cost is dominated by AvailableNow micro-batch machinery, ~32-file
+    micro-batches). Three measured rows:
+
+    * batch           — extract→triples to parquet (the run_kg stage pair);
+    * stream_micro    — streaming_triples drained with maxFilesPerTrigger=8
+                        (many micro-batches: the per-trigger fixed-cost
+                        regime, the incremental-arrival emulation);
+    * stream_steady   — maxFilesPerTrigger >= file count (one big batch:
+                        the steady-state ceiling of the streaming path —
+                        same work as batch plus checkpoint/commit overhead).
+
+    The corpus is written in 64 files so the micro mode has real trigger
+    granularity. tmpfs-backed; generation outside all timed windows."""
+    import shutil
+    import tempfile
+
+    from amharic_ecommerce_data_extractor_spark.data.synthetic import generate_messages
+    from amharic_ecommerce_data_extractor_spark.session import get_spark
+    from amharic_ecommerce_data_extractor_spark.streaming.stream import (
+        read_message_stream,
+        run_stream_once,
+        streaming_triples,
+    )
+
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="bench-streaming", cores=cpus,
+                      shuffle_partitions=cpus)
+    spark.range(10).count()
+    _warm_python_workers(spark, cpus)
+
+    base_dir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="stream_bench_", dir=base_dir)
+    out = {"metric": "streaming_vs_batch_triples", "messages": messages,
+           "cpus": cpus, "modes": {}}
+    try:
+        corpus = f"{workdir}/messages"
+        generate_messages(spark, n_rows=messages, n_vendors=50) \
+            .repartition(64).write.parquet(corpus)
+
+        from amharic_ecommerce_data_extractor_spark.operators.extract import (
+            extract_entities,
+        )
+        from amharic_ecommerce_data_extractor_spark.operators.triples import (
+            emit_triples,
+        )
+
+        la0 = _loadavg()
+        t0 = time.perf_counter()
+        emit_triples(extract_entities(spark.read.parquet(corpus))) \
+            .write.parquet(f"{workdir}/batch_out")
+        batch_sec = time.perf_counter() - t0
+        n_triples = spark.read.parquet(f"{workdir}/batch_out").count()
+        out["modes"]["batch"] = {
+            "seconds": round(batch_sec, 3),
+            "triples_per_sec": round(n_triples / batch_sec, 1),
+            "load_1m": [la0, _loadavg()]}
+
+        for name, mft in (("stream_micro", 8), ("stream_steady", 10_000)):
+            la0 = _loadavg()
+            t0 = time.perf_counter()
+            stream = streaming_triples(
+                read_message_stream(spark, corpus, max_files_per_trigger=mft))
+            run_stream_once(stream, f"{workdir}/{name}_out",
+                            f"{workdir}/{name}_ckpt")
+            sec = time.perf_counter() - t0
+            n = spark.read.parquet(f"{workdir}/{name}_out").count()
+            assert n == n_triples, (name, n, n_triples)
+            out["modes"][name] = {
+                "seconds": round(sec, 3), "max_files_per_trigger": mft,
+                "triples_per_sec": round(n / sec, 1),
+                "load_1m": [la0, _loadavg()]}
+        out["triples"] = n_triples
+        out["steady_vs_batch"] = round(
+            out["modes"]["stream_steady"]["triples_per_sec"]
+            / out["modes"]["batch"]["triples_per_sec"], 4)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+    return out
+
+
 def run_scaling(sf_dir: str, levels=(2, 8), messages: int | None = None,
                 repeats: int = 3, paired: bool = False) -> dict:
     """Same KG job, same input, two parallelism levels, fresh JVM each.
@@ -298,6 +382,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--kg-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--streaming", action="store_true",
+                    help="batch vs streaming triples throughput on one corpus")
     ap.add_argument("--messages", type=int, default=None)
     ap.add_argument("--corpus", default=None,
                     help="pre-generated message parquet to reuse (--kg-only)")
@@ -317,6 +403,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    if args.streaming:
+        print(json.dumps(run_streaming(messages=args.messages or 1_000_000)))
+        return
     if args.scaling:
         levels = tuple(int(x) for x in args.levels.split(","))
         print(json.dumps(run_scaling(sf_dir, levels=levels, messages=args.messages,
