@@ -348,6 +348,40 @@ def _parse_avi_rgb(payload: bytes):
     return int(width), int(height), len(frames), frames
 
 
+def make_avi(frames, width: int, height: int) -> bytes:
+    """Synthesize a minimal uncompressed-RGB RIFF AVI (the format
+    _parse_avi_rgb decodes): LIST hdrl (avih with dims) + LIST strl +
+    LIST movi of 00db DIB frames — bottom-up BGR rows, 4-byte padded, the
+    BMP pixel layout. Deterministic; used by tests and the q51 registry
+    query to exercise the REAL decode path without codec libraries.
+    frames: iterable of HxWx3 uint8 RGB arrays."""
+    import numpy as np
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    frames = list(frames)
+    avih = struct.pack("<IIIIIIIIII", 33333, 0, 0, 0, len(frames), 0, 1, 0,
+                       width, height) + b"\x00" * 16
+    strh = b"vids" + b"DIB " + b"\x00" * 48
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    row_bytes = (width * 3 + 3) & ~3
+    bodies = b""
+    for fr in frames:
+        bgr = np.asarray(fr, dtype=np.uint8)[::-1, :, ::-1]   # bottom-up, BGR
+        padded = np.zeros((height, row_bytes), dtype=np.uint8)
+        padded[:, :width * 3] = bgr.reshape(height, width * 3)
+        bodies += chunk(b"00db", padded.tobytes())
+    movi = lst(b"movi", bodies)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 VIDEO_FRAME_FIELDS = [
     T.StructField("frame_idx", T.IntegerType(), False),
     T.StructField("width", T.IntegerType(), True),

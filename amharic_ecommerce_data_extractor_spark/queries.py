@@ -1679,3 +1679,48 @@ def q48p(spark, sf_dir):
     pairs = fingerprint_overlap_pairs(u, k=5, w=8, min_shared=3, max_df=50)
     return pairs.agg(F.count("*").alias("n_pairs"),
                      F.round(F.avg("n_shared"), 6).alias("avg_shared"))
+
+
+@_q("q51_video_frame_features")
+def q51(spark, sf_dir):
+    """Video-decode path (rows-only: the frame decode — RIFF AVI chunk walk
+    + numpy grid features, operators/multimodal.py extract_video_frames —
+    is not SQL-expressible in DuckDB). Two media populations:
+
+    * every document's text as a non-AVI payload → the deterministic
+      sha-derived fallback frames (the codec-absent production stub);
+    * two driver-built uncompressed-RGB AVI clips → REAL decode (uniform
+      gray frames, so the 4×4 grid means are exactly gray/255).
+
+    Values (not just row counts) are pinned in
+    tests/test_video_query.py."""
+    import numpy as np
+
+    from amharic_ecommerce_data_extractor_spark.operators.multimodal import (
+        extract_video_frames,
+        make_avi,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fake_media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.lit("video/fake").alias("mime"),
+        F.encode(F.concat(F.lit("raw:"), F.col("text")), "utf-8").alias("payload"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    # gray level 3*i stays inside uint8 for all 61 frames; sampled frames
+    # 0/30/60 then have exact grid means 0, 90/255, 180/255
+    frames = [np.full((4, 6, 3), 3 * i, dtype=np.uint8) for i in range(61)]
+    real_rows = [
+        (9_000_001, "video", "video/avi", bytearray(make_avi(frames, 6, 4)), {}),
+        (9_000_002, "video", "video/avi", bytearray(make_avi(frames[:31], 6, 4)), {}),
+    ]
+    real_media = spark.createDataFrame(real_rows, fake_media.schema)
+    out = extract_video_frames(fake_media.unionByName(real_media), every_n=30)
+    return out.agg(
+        F.count("*").alias("n_frames"),
+        F.countDistinct("media_id").alias("n_media"),
+        F.sum(F.when(F.col("width") == 6, 1).otherwise(0)).alias("n_real_frames"),
+        F.round(F.sum(F.element_at("feature", 1)), 6).alias("sum_first_feature"),
+    )

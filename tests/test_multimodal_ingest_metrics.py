@@ -344,35 +344,11 @@ def test_audio_real_marker_raises(spark):
 
 
 def _make_avi(frames, width, height):
-    """Minimal uncompressed-RGB RIFF AVI: LIST hdrl (avih with dims) +
-    LIST strl (skipped by the parser) + LIST movi of 00db DIB frames
-    (bottom-up BGR rows, 4-byte padded — the BMP pixel layout)."""
-    import struct as st
+    """Package helper (operators/multimodal.py make_avi) — kept as a local
+    name so the independent-construction tests below read naturally."""
+    from amharic_ecommerce_data_extractor_spark.operators.multimodal import make_avi
 
-    import numpy as np
-
-    def chunk(cid, body):
-        return cid + st.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
-
-    def lst(ltype, body):
-        return chunk(b"LIST", ltype + body)
-
-    avih = st.pack("<IIIIIIIIII", 33333, 0, 0, 0, len(frames), 0, 1, 0,
-                   width, height) + b"\x00" * 16
-    strh = b"vids" + b"DIB " + b"\x00" * 48
-    strf = st.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 0, 0, 0, 0)
-    hdrl = lst(b"hdrl", chunk(b"avih", avih)
-               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    row_bytes = (width * 3 + 3) & ~3
-    bodies = b""
-    for fr in frames:
-        bgr = fr[::-1, :, ::-1].astype(np.uint8)          # bottom-up, BGR
-        padded = np.zeros((height, row_bytes), dtype=np.uint8)
-        padded[:, :width * 3] = bgr.reshape(height, width * 3)
-        bodies += chunk(b"00db", padded.tobytes())
-    movi = lst(b"movi", bodies)
-    riff_body = b"AVI " + hdrl + movi
-    return b"RIFF" + st.pack("<I", len(riff_body)) + riff_body
+    return make_avi(frames, width, height)
 
 
 def test_real_video_decode_avi(spark):
