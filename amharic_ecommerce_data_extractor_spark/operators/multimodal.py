@@ -315,16 +315,22 @@ def _parse_avi_rgb(payload: bytes):
     width = height = None
     frame_bodies: list[bytes] = []
 
-    def walk(pos: int, end: int) -> None:
+    def walk(pos: int, end: int, depth: int) -> None:
         nonlocal width, height
+        if depth > 8:
+            # real AVIs nest LISTs <= 4 deep (RIFF > hdrl > strl / movi >
+            # rec); an adversarial payload of thousands of nested LIST
+            # headers must not blow the recursion limit and kill the
+            # executor task — treat it as undecodable instead
+            return
         while pos + 8 <= end:
             cid = payload[pos:pos + 4]
             size, = struct.unpack_from("<I", payload, pos + 4)
             body_at = pos + 8
             if body_at + size > end:
                 break
-            if cid == b"LIST":
-                walk(body_at + 4, body_at + size)   # skip the list type tag
+            if cid == b"LIST" and size >= 4:
+                walk(body_at + 4, body_at + size, depth + 1)  # skip list type
             elif cid == b"avih" and size >= 40:
                 # dwWidth/dwHeight at offsets 32/36 of the main AVI header
                 width, height = struct.unpack_from("<II", payload, body_at + 32)
@@ -332,7 +338,7 @@ def _parse_avi_rgb(payload: bytes):
                 frame_bodies.append(payload[body_at:body_at + size])
             pos = body_at + size + (size & 1)        # chunks are word-aligned
 
-    walk(12, len(payload))
+    walk(12, len(payload), 0)
     if not width or not height or width > 16384 or height > 16384 \
             or not frame_bodies:
         return None

@@ -208,6 +208,10 @@ def main() -> None:
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--verify-lineage", action="store_true")
+    ap.add_argument("--gc-chunks", action="store_true",
+                    help="after the run, reclaim the extract stage's "
+                         "per-chunk resume dirs (safe: refuses unless the "
+                         "bucketed finalize committed the same row count)")
     args = ap.parse_args()
 
     from ..session import get_spark
@@ -217,6 +221,9 @@ def main() -> None:
         summary = run_pipeline(spark, args.workdir, n_messages=args.messages,
                                input_path=args.input, n_chunks=args.chunks,
                                verify_lineage=args.verify_lineage)
+        if args.gc_chunks:
+            summary["gc_chunk_dirs"] = len(ckpt.gc_chunk_dirs(
+                args.workdir, "extract", "extract_bucketed"))
         print(json.dumps(summary))
     finally:
         spark.stop()
