@@ -59,7 +59,15 @@ def curate(
     # the input cache is only taken (and later released) when we created it.
     caller_cached = docs.storageLevel.useMemory or docs.storageLevel.useDisk
     if not caller_cached:
-        docs = docs.persist()
+        # spread BEFORE persisting: the cache freezes the partitioning, and a
+        # one-split scan cached as one partition would run every downstream
+        # CPU-heavy stage (shingle/fingerprint hashing) on one core. spread's
+        # static gate makes this the identity on well-partitioned input
+        # (including everything at 100 TB); a caller-cached frame keeps the
+        # caller's partitioning — repartitioning it would defeat their cache.
+        from .linking import spread
+
+        docs = spread(docs, id_col).persist()
     deduped = filtered = curated = None
     try:
         stages: list[tuple[str, DataFrame]] = [("input", docs)]

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from .linking import banded_candidate_pairs, connected_components, minhash_signature
+from .linking import banded_candidate_pairs, connected_components, minhash_signature, spread
 
 
 def word_shingles(col, n: int = 3):
@@ -68,7 +68,10 @@ def minhash_duplicate_pairs(
     emits a per-bucket spanning star instead of the full clique — O(bucket)
     edges, the CC-consumer setting for corpora with huge duplicate clusters
     (see banded_candidate_pairs)."""
-    sh = df.select(
+    # spread BEFORE shingling: the repartition (a no-op on well-partitioned
+    # input) moves raw text, and the dense per-shingle hashing below then
+    # runs at full core count even when the scan was one split
+    sh = spread(df, id_col).select(
         F.col(id_col).alias("nid"),
         word_shingles(F.col(text_col), shingle_words).alias("shingles"),
     ).where(F.size("shingles") > 0)
@@ -169,7 +172,8 @@ def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
                        hash_fn: str = "xxhash64") -> DataFrame:
     """Groups of documents sharing an identical 64-bit SimHash."""
     sh = simhash64_md5 if hash_fn == "md5" else simhash64
-    fp = df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
+    fp = spread(df, id_col).select(
+        F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
     return (fp.groupBy("simhash")
             .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("id")).alias("ids"))
             .where(F.col("n_docs") > 1))
@@ -406,8 +410,8 @@ def fingerprint_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
     # consumer and the per-k-gram hashing can run more than once per action
     # _cross_chunk_dedup=False: the (id, fp) distinct below subsumes the
     # chunked path's cross-chunk (id, pos, fp) dedup — one shuffle, not two
-    fps = (winnowing_fingerprints(df, id_col=id_col, text_col=text_col,
-                                  k=k, w=w, hash_fn=hash_fn,
+    fps = (winnowing_fingerprints(spread(df, id_col), id_col=id_col,
+                                  text_col=text_col, k=k, w=w, hash_fn=hash_fn,
                                   max_chars=max_chars, _cross_chunk_dedup=False)
            .select("id", "fp").distinct().localCheckpoint(eager=False))
     keep = (fps.groupBy("fp").agg(F.count("*").alias("_df"))

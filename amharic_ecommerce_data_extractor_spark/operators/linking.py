@@ -27,6 +27,71 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+# logical nodes whose presence means a shuffle already sets the frame's
+# parallelism to spark.sql.shuffle.partitions (>= cores in any sane config)
+_SHUFFLE_NODE_RE = __import__("re").compile(
+    r"(?m)^[\s+:-]*(?:Aggregate|Join|RepartitionByExpression|Repartition|"
+    r"Sort|Window|Deduplicate|Intersect|Except|GlobalLimit)\b")
+
+
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Raise the partition count to the session's core count before a
+    CPU-heavy narrow stage — and ONLY when the input is a narrow plan over
+    an under-split scan.
+
+    Why: a small-but-compute-dense input (one parquet file of 10k documents
+    feeding per-k-gram hashing) arrives as 1-2 scan splits, so the expensive
+    projection runs on 1-2 of N cores while the rest idle. Measured on the
+    sf0.1 doubled-documents minhash stage at local[32]: 7-8 s unspread vs
+    3.6 s spread (the residual is the checkpoint write); the winnowing
+    overlap query drops 11.9 s -> 2.5 s.
+
+    Why gated, and gated STATICALLY: at 100 TB the scan already arrives with
+    thousands of splits — an unconditional repartition there is a pure-loss
+    full-data shuffle. But the obvious probe, ``df.rdd.getNumPartitions()``,
+    is a trap under AQE: converting a derived frame to an RDD materializes
+    its query stages (the probe silently EXECUTES the upstream pipeline —
+    measured 4x on the entity-linking query whose input derives from the
+    extraction stage), and the answer is the post-coalesce count, which
+    undercounts the parallelism the next stage would actually get. So the
+    gate never touches the RDD: (1) if the optimized logical plan contains
+    any shuffle-inducing node, parallelism is already governed by
+    spark.sql.shuffle.partitions — identity; (2) otherwise the frame is
+    narrow-over-scan and its parallelism IS the scan split count, estimated
+    from the input files' sizes vs files.maxPartitionBytes (a few filesystem
+    stats, no job); only when that estimate is below the core count does the
+    repartition fire.
+
+    The shuffle moves the RAW input rows (text, not the derived shingle /
+    signature arrays — call spread() BEFORE the heavy projection), keyed by
+    key_cols when given so downstream same-key operations can reuse the
+    partitioning; round-robin otherwise. Streaming frames pass through
+    untouched."""
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if _SHUFFLE_NODE_RE.search(plan):
+        return df
+    files = df.inputFiles()
+    if not files or len(files) >= target:
+        return df
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    digits = "".join(c for c in raw if c.isdigit())
+    max_bytes = int(digits) if digits else 128 << 20
+    splits = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+        splits += max(1, -(-size // max_bytes))
+        if splits >= target:
+            return df
+    return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+
+
 # ---------------------------------------------------------------------------
 # Shingling + MinHash
 # ---------------------------------------------------------------------------
@@ -121,7 +186,16 @@ def band_keys(sig_col, bands: int, rows: int, hash_fn: str = "xxhash64"):
 
 
 def jaccard(a, b):
-    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+    """Exact Jaccard for DISTINCT-element arrays (every shingle array in this
+    package is array_distinct by construction): |A∩B| / (|A|+|B|-|A∩B|) —
+    one set operation instead of two (array_union costs the same hash-set
+    build as array_intersect; the sizes are plain array lengths). The
+    repeated intersect subexpression is evaluated once per row by codegen
+    subexpression elimination (spark.sql.subexpressionElimination, default
+    on). Identical to size(intersect)/size(union) on distinct inputs — and
+    the same formula the DuckDB oracles use."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
 
 
 def banded_candidate_pairs(sig_df: DataFrame, bands: int, rows: int,
@@ -206,7 +280,7 @@ def lsh_candidate_pairs(
             char_shingles(F.col(text_col), shingle_n).alias("shingles")]
     if group_col:
         cols.append(F.col(group_col).alias(group_col))
-    sh = surfaces.select(*cols).where(F.size("shingles") > 0)
+    sh = spread(surfaces, id_col).select(*cols).where(F.size("shingles") > 0)
     # localCheckpoint = optimizer barrier: without it the MinHash signature
     # subtree is re-inlined (CollapseProject) and recomputed once per band
     # AND once per self-join side

@@ -139,10 +139,13 @@ def knn_lsh(
         # cannot re-inline the 64-dot-product subtree once per band.
         # eager=False: the barrier materializes at first action, so merely
         # BUILDING the plan stays side-effect free.
+        from .linking import spread
+
         sig = simhash_signature(F.col(vec_col), planes)
-        return df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(f"{idn}_vec"),
-                         _norm(F.col(vec_col)).alias(f"{idn}_norm"),
-                         sig.alias("_sig")).localCheckpoint(eager=False)
+        return spread(df, id_col).select(
+            F.col(id_col).alias(idn), F.col(vec_col).alias(f"{idn}_vec"),
+            _norm(F.col(vec_col)).alias(f"{idn}_norm"),
+            sig.alias("_sig")).localCheckpoint(eager=False)
 
     def with_bands(base: DataFrame, idn: str) -> DataFrame:
         # ids-only: the exploded frame (and everything downstream until the

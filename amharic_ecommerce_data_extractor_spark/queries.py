@@ -605,8 +605,9 @@ def q29(spark, sf_dir):
     # above can recompute it; the xxhash64 variant (dedup.simhash64) is the
     # production default and is pinned by unit tests instead
     from amharic_ecommerce_data_extractor_spark.operators.dedup import simhash64_md5
+    from amharic_ecommerce_data_extractor_spark.operators.linking import spread
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     return (d.select(F.substring(simhash64_md5(F.col("text")), 1, 8).alias("bucket"))
             .groupBy("bucket").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc("bucket")).limit(20))
@@ -1602,8 +1603,9 @@ def q50(spark, sf_dir):
 @_q("q29p_simhash_bucket_profile_prod")
 def q29p(spark, sf_dir):
     from amharic_ecommerce_data_extractor_spark.operators.dedup import simhash64
+    from amharic_ecommerce_data_extractor_spark.operators.linking import spread
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     return (d.select(F.substring(simhash64(F.col("text")), 1, 8).alias("bucket"))
             .groupBy("bucket").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc("bucket")).limit(20))
