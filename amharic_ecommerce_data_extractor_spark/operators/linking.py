@@ -24,12 +24,14 @@ lexicographically smallest surface (deterministic under any partitioning).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 
 # logical nodes whose presence means a shuffle already sets the frame's
 # parallelism to spark.sql.shuffle.partitions (>= cores in any sane config)
-_SHUFFLE_NODE_RE = __import__("re").compile(
+_SHUFFLE_NODE_RE = re.compile(
     r"(?m)^[\s+:-]*(?:Aggregate|Join|RepartitionByExpression|Repartition|"
     r"Sort|Window|Deduplicate|Intersect|Except|GlobalLimit)\b")
 
