@@ -42,6 +42,17 @@ def get_spark(
         # (AQE coalescing re-merges when they are genuinely tiny)
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        # AQE coalesces shuffle outputs by BYTES (floor = minPartitionSize,
+        # default 1MB), which is the wrong cost model for this engine's
+        # CPU-dense text stages: a window/groupBy output of 10k documents is
+        # <1MB compressed, so the default collapses it to ONE partition and
+        # the downstream per-k-gram/minhash projection runs on one core
+        # (measured: the curation audit's minhash stage 9.9s -> 1.3s with a
+        # 16KB floor, 32 partitions). At scale the parallelismFirst target
+        # (total bytes / default parallelism) dominates this floor, so large
+        # shuffles coalesce exactly as before; the only cost is a few extra
+        # ~ms tasks on genuinely tiny stages.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16KB")
     )
     # shuffle/spill to tmpfs when available: local-mode shuffles are
     # disk-bound on container filesystems
