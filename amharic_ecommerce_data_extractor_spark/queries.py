@@ -1726,3 +1726,32 @@ def q51(spark, sf_dir):
         F.sum(F.when(F.col("width") == 6, 1).otherwise(0)).alias("n_real_frames"),
         F.round(F.sum(F.element_at("feature", 1)), 6).alias("sum_first_feature"),
     )
+
+
+@_q("q52_incremental_dedup")
+def q52(spark, sf_dir):
+    """Incremental dedup fold (rows-only; operators/incremental.py): the
+    documents table arrives as two batches split at the median doc_id; each
+    batch is deduplicated against the fingerprint index accumulated from
+    the batches before it (greedy online policy — no SQL twin because the
+    decision depends on MinHash signature agreement against index state,
+    which ANSI SQL cannot replay; values pinned at sf0.001 by
+    tests/test_incremental_query.py)."""
+    from amharic_ecommerce_data_extractor_spark.operators.incremental import (
+        IndexRows,
+        incremental_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    mid = d.agg(F.min("doc_id") + (F.max("doc_id") - F.min("doc_id")) / 2
+                ).first()[0]
+    batches = [d.where(F.col("doc_id") <= mid), d.where(F.col("doc_id") > mid)]
+    idx, out = None, []
+    for i, b in enumerate(batches, start=1):
+        kept, adds = incremental_dedup(b, idx)
+        kept = kept.localCheckpoint()
+        adds = IndexRows(*(getattr(adds, a).localCheckpoint()
+                           for a in ("exact", "sigs", "bands")))
+        out.append((i, b.count(), kept.count(), adds.bands.count()))
+        idx = adds if idx is None else idx.union(adds)
+    return spark.createDataFrame(out, "batch int, n_in long, n_kept long, n_band_rows long")

@@ -51,6 +51,35 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def join_exchange_count(joined: DataFrame) -> int:
+    """Number of shuffle exchanges feeding the plan's first shuffle join
+    (its subtree only, same walk as :func:`is_shuffle_free_join`): 2 = both
+    sides shuffle (no co-location), 1 = one side pre-partitioned (the
+    bucketed-index-vs-small-batch asymmetry incremental_dedup relies on),
+    0 = fully co-located. -1 when the plan has no shuffle join."""
+    import re
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==", 1)[0]
+    lines = plan.splitlines()
+    join_at = next((i for i, ln in enumerate(lines)
+                    if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln), None)
+    if join_at is None:
+        return -1
+
+    def depth(ln: str) -> int:
+        return len(re.match(r"^[\s:+-]*", ln).group(0))
+
+    d_join = depth(lines[join_at])
+    n = 0
+    for ln in lines[join_at + 1:]:
+        if ln.strip() and depth(ln) <= d_join:
+            break
+        if "Exchange hashpartitioning" in ln:
+            n += 1
+    return n
+
+
 def is_shuffle_free_join(joined: DataFrame) -> bool:
     """True when the plan's first shuffle-join (SortMergeJoin /
     ShuffledHashJoin) is fed by no shuffle exchange — the co-location probe
