@@ -31,7 +31,8 @@ shingle sets (they are the size of the corpus). Estimator granularity is
 to 64–128 (Broder's bound: stderr ≈ sqrt(j(1-j)/num_hashes)).
 
 Within a batch, full exact+near dedup runs first (the batch's text IS in
-hand, so the exact-Jaccard machinery of :func:`dedup.dedup` applies), so a
+hand, so the same exact-Jaccard machinery as :func:`dedup.dedup` applies —
+built from the shared linking primitives over ONE fingerprint pass), so a
 chain  indexed_doc ≈ batch_doc_A ≈ batch_doc_B  drops both batch docs: A
 and B merge intra-batch, and the surviving representative is then caught
 by the index check — matching what whole-corpus connected components would
@@ -51,8 +52,16 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .dedup import dedup, word_shingles
-from .linking import band_keys, minhash_signature, spread
+from pyspark.sql.window import Window
+
+from .dedup import word_shingles
+from .linking import (
+    band_keys,
+    banded_candidate_pairs,
+    connected_components,
+    minhash_signature,
+    spread,
+)
 
 
 @dataclass
@@ -84,17 +93,17 @@ def _folded_band_keys(sig_col, bands: int, rows: int, hash_fn: str):
     return F.transform(bk, lambda s: F.xxhash64(s["band"], s["sig"]))
 
 
-def index_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-               shingle_words: int = 3, bands: int = 8, rows: int = 2,
-               hash_fn: str = "xxhash64") -> IndexRows:
-    """Compute the fingerprint-index rows for a set of ACCEPTED documents.
-
-    One pass over the text: sha256 + shingle + minhash in a single
-    projection (spread() first — the scan of a freshly curated batch is
-    often one split, and the per-shingle hashing is the CPU-dense part),
-    then a localCheckpoint barrier so the signature is not recomputed per
-    derived table (CollapseProject would re-inline it three times)."""
-    base = spread(docs, id_col).select(
+def _fingerprint_rows(docs: DataFrame, id_col: str, text_col: str,
+                      shingle_words: int, bands: int, rows: int,
+                      hash_fn: str) -> DataFrame:
+    """ONE pass over the text — sha256 + word shingles + minhash in a single
+    projection (spread() first: a freshly curated batch's scan is often one
+    split, and the per-shingle hashing is the CPU-dense part), behind a
+    localCheckpoint barrier so no derived table re-inlines and recomputes
+    the signature (CollapseProject). Shingles ride along for the BATCH-local
+    exact-Jaccard verify only; they are dropped before anything reaches the
+    index."""
+    return spread(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.sha2(F.col(text_col), 256).alias("fp"),
         word_shingles(F.col(text_col), shingle_words).alias("shingles"),
@@ -102,16 +111,35 @@ def index_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         "minhash",
         F.when(F.size("shingles") > 0,
                minhash_signature(F.col("shingles"), bands * rows, hash_fn)),
-    ).drop("shingles").localCheckpoint()
+    ).localCheckpoint()
+
+
+def _to_index_rows(fpr: DataFrame, bands: int, rows: int,
+                   hash_fn: str) -> IndexRows:
+    """Project fingerprint rows (id, fp, shingles, minhash) down to the
+    three index-table row sets — a column drop plus the band explode; no
+    text re-hashing."""
     return IndexRows(
-        exact=base.select("fp", "id"),
-        sigs=base.where(F.col("minhash").isNotNull()).select("id", "minhash"),
-        bands=base.where(F.col("minhash").isNotNull()).select(
+        exact=fpr.select("fp", "id"),
+        sigs=fpr.where(F.col("minhash").isNotNull()).select("id", "minhash"),
+        bands=fpr.where(F.col("minhash").isNotNull()).select(
             F.explode(_folded_band_keys(F.col("minhash"), bands, rows, hash_fn)
                       ).alias("bkey"),
             F.col("id"),
         ),
     )
+
+
+def index_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+               shingle_words: int = 3, bands: int = 8, rows: int = 2,
+               hash_fn: str = "xxhash64") -> IndexRows:
+    """Compute the fingerprint-index rows for a set of ACCEPTED documents
+    (bootstrap/backfill path; :func:`incremental_dedup` derives the same
+    rows from its in-flight fingerprints without re-reading the text)."""
+    return _to_index_rows(
+        _fingerprint_rows(docs, id_col, text_col, shingle_words, bands, rows,
+                          hash_fn).drop("shingles"),
+        bands, rows, hash_fn)
 
 
 def sig_agreement(a, b):
@@ -149,24 +177,56 @@ def incremental_dedup(
     from the first batch.
 
     Order of operations (see module docstring for why):
-      1. full intra-batch dedup (exact + MinHash-CC, :func:`dedup.dedup`) —
-         exact Jaccard, the text is in hand;
+      1. full intra-batch dedup — same semantics as :func:`dedup.dedup`
+         (exact sha256 keep-min-id, then MinHash-LSH candidates verified by
+         EXACT Jaccard on the in-hand shingles, connected components, one
+         representative per component);
       2. drop survivors whose sha256 is already indexed (anti join on fp);
       3. drop survivors whose signature agreement with ANY banded index
          candidate is ≥ threshold;
       4. the remainder is kept; its index rows are the additions.
 
+    The text is fingerprinted EXACTLY ONCE: one projection computes
+    sha256 + shingles + minhash behind a checkpoint barrier; the intra-batch
+    dedup, the index checks, and the additions are all id/array joins over
+    those fingerprints (shingles never leave the batch scope).
+
     Scale shape: every index-side join is a single-key equi join against a
     table bucketed on exactly that key — only the batch side shuffles
     (pinned by tests/test_incremental_dedup.py via join_exchange_count).
     Candidate pairs carry ids only; signatures rejoin by id afterwards."""
-    rep = dedup(batch, id_col=id_col, text_col=text_col, threshold=threshold,
-                hash_fn=hash_fn, pair_mode=pair_mode)
-    rows_rep = index_rows(rep, id_col=id_col, text_col=text_col,
-                          shingle_words=shingle_words, bands=bands, rows=rows,
-                          hash_fn=hash_fn)
+    fpr = _fingerprint_rows(batch, id_col, text_col, shingle_words, bands,
+                            rows, hash_fn)
+
+    # 1a. exact intra-batch: lowest id per sha256 (null fps — null text —
+    # group together, the dedup() convention)
+    w = Window.partitionBy("fp").orderBy(F.col("id"))
+    exact_kept = (fpr.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1).drop("_rn"))
+
+    # 1b. near intra-batch: LSH candidates + exact-Jaccard verify on the
+    # in-hand shingles → CC → keep the lowest id per component
+    sig_df = (exact_kept.where(F.col("minhash").isNotNull())
+              .select(F.col("id").alias("nid"), "shingles", "minhash"))
+    pairs = (banded_candidate_pairs(sig_df, bands, rows, hash_fn,
+                                    pair_mode=pair_mode)
+             .where(F.col("sim") >= threshold))
+    comp = connected_components(pairs.select("src", "dst"))
+    joined = exact_kept.join(comp, exact_kept["id"] == comp.node, "left")
+    keep = F.coalesce(F.col("component"), F.col("id"))
+    w2 = Window.partitionBy(keep).orderBy(F.col("id"))
+    # materialize the representatives ONCE: they feed the index checks, the
+    # additions, and the kept semi-join — left lazy, the LSH + CC DAG would
+    # re-execute per consumer
+    rep_rows = (joined.withColumn("_rn", F.row_number().over(w2))
+                .where(F.col("_rn") == 1).drop("_rn", "node", "component")
+                .localCheckpoint())
+
+    rows_rep = _to_index_rows(rep_rows.drop("shingles"), bands, rows, hash_fn)
     if index is None:
-        return rep, rows_rep
+        kept = batch.join(rep_rows.select(F.col("id").alias(id_col)),
+                          id_col, "semi")
+        return kept, rows_rep
 
     # 2. exact membership: ids whose fingerprint is already in the index
     exact_hit = (rows_rep.exact.join(index.exact.select("fp"), "fp", "semi")
@@ -188,7 +248,8 @@ def incremental_dedup(
     )
 
     dropped = exact_hit.unionByName(near_hit).distinct()
-    kept = rep.join(dropped.withColumnRenamed("id", id_col), id_col, "anti")
+    kept_ids = rep_rows.select("id").join(dropped, "id", "anti")
+    kept = batch.join(kept_ids.withColumnRenamed("id", id_col), id_col, "semi")
     additions = IndexRows(
         exact=rows_rep.exact.join(dropped, "id", "anti"),
         sigs=rows_rep.sigs.join(dropped, "id", "anti"),
