@@ -149,3 +149,98 @@ def streaming_exact_dedup(messages: DataFrame, watermark: str = "2 days",
             .withWatermark(event_time_col, watermark)
             .dropDuplicatesWithinWatermark(["_fp"])
             .drop("_fp"))
+
+
+def ingest_dedup_batch(batch: DataFrame, batch_id: int, store, out_dir: str,
+                       checkpoint_dir: str, id_col: str = "message_id",
+                       text_col: str = "content", **dedup_kw) -> None:
+    """One micro-batch of :func:`streaming_incremental_dedup` (module-level
+    so the replay matrix is unit-testable — see that docstring for the
+    marker-pair semantics)."""
+    import os
+
+    from ..operators.incremental import incremental_dedup, index_rows
+
+    spark = batch.sparkSession
+
+    def _mark(name: str) -> None:
+        tmp = os.path.join(checkpoint_dir, name + ".tmp")
+        open(tmp, "w").close()
+        os.replace(tmp, os.path.join(checkpoint_dir, name))
+
+    idx_marker = os.path.join(checkpoint_dir, f"idx_{batch_id}")
+    out_marker = os.path.join(checkpoint_dir, f"out_{batch_id}")
+    batch_dir = os.path.join(out_dir, f"ingest_batch={batch_id}")
+    if os.path.exists(idx_marker):
+        return
+    if os.path.exists(out_marker):
+        kept_back = spark.read.parquet(batch_dir)
+        adds = index_rows(kept_back, id_col=id_col, text_col=text_col,
+                          **{k: v for k, v in dedup_kw.items()
+                             if k in ("shingle_words", "bands", "rows",
+                                      "hash_fn")})
+    else:
+        idx = store.load() if store.exists() else None
+        kept, adds = incremental_dedup(batch, idx, id_col=id_col,
+                                       text_col=text_col, **dedup_kw)
+        kept.write.mode("overwrite").parquet(batch_dir)
+        _mark(f"out_{batch_id}")
+    store.append(adds)
+    _mark(f"idx_{batch_id}")
+
+
+def streaming_incremental_dedup(messages: DataFrame, store, out_dir: str,
+                                checkpoint_dir: str,
+                                id_col: str = "message_id",
+                                text_col: str = "content",
+                                **dedup_kw):
+    """Dedup-on-ingest against the PERSISTENT fingerprint index
+    (operators.incremental): each micro-batch is deduplicated exact+near
+    against everything ever accepted — across restarts, across streams —
+    with the state in bucketed index tables on disk, not in the streaming
+    state store. Complements :func:`streaming_exact_dedup`, whose watermark
+    bounds its state by design and therefore forgets content older than the
+    horizon; the index never forgets and costs tens of bytes per document.
+
+    Per micro-batch (foreachBatch, driver-side orchestration):
+      1. ``incremental_dedup(batch, store.load())`` — intra-batch dedup,
+         then exact/near checks against the index;
+      2. survivors land in ``out_dir/ingest_batch=<id>/`` (overwrite —
+         idempotent for that batch id);
+      3. their fingerprints append to the index;
+      4. a commit marker for the batch id is recorded.
+
+    Replay semantics (Spark re-runs a batch id whose epoch did not commit):
+    the marker pair makes output EXACTLY-ONCE and the index append
+    AT-LEAST-ONCE —
+      * ``idx_<id>`` present → full no-op;
+      * ``out_<id>`` present, ``idx_<id>`` absent → the survivors are
+        already on disk (the marker is written only after the parquet
+        commit); they are read back, their fingerprints recomputed and
+        (re-)appended. A crash mid-append can thus duplicate index ROWS,
+        never output rows — duplicates are benign by construction: every
+        index consumer is a semi join (exact), or a candidate join that
+        dropDuplicates (bid, iid) before the signature check (near);
+      * neither → the full step 1–4 sequence. The critical ordering is
+        output-before-append: recomputing ``kept`` AFTER a completed
+        append would find every row already indexed and emit nothing,
+        losing the batch.
+    On Iceberg the three appends + marker collapse into one atomic
+    multi-table commit and the at-least-once caveat disappears; the marker
+    files mirror sources/checkpoint.py's manifest convention meanwhile.
+    """
+    import os
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        ingest_dedup_batch(batch, batch_id, store, out_dir, checkpoint_dir,
+                           id_col=id_col, text_col=text_col, **dedup_kw)
+
+    q = (messages.writeStream
+         .foreachBatch(handle)
+         .option("checkpointLocation", os.path.join(checkpoint_dir, "spark"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
