@@ -171,3 +171,44 @@ def test_sig_agreement_estimator_bounds(spark):
     got = [r[0] for r in
            df.select(sig_agreement(F.col("a"), F.col("b"))).collect()]
     assert got == [1.0, 0.5, 0.0]
+
+
+# ---------------------------------------------------------------------------
+# Property: arbitrary batch splits, first-arrival-wins
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_greedy_exact_policy_any_split_order(spark, data):
+    """Exact-dup classes (disjoint vocabularies, so near-dup never fires)
+    assigned randomly to batches in random arrival order: after the fold,
+    exactly one representative per class survives — the min id within the
+    EARLIEST batch containing the class (first arrival wins, not global
+    min id)."""
+    n_class = data.draw(st.integers(2, 4), label="n_class")
+    n_docs = data.draw(st.integers(4, 10), label="n_docs")
+    cls = [data.draw(st.integers(0, n_class - 1), label=f"class_{i}")
+           for i in range(n_docs)]
+    n_batch = data.draw(st.integers(1, 3), label="n_batch")
+    bat = [data.draw(st.integers(0, n_batch - 1), label=f"batch_{i}")
+           for i in range(n_docs)]
+
+    batches = []
+    for b in range(n_batch):
+        rows = [(i, _words(f"c{cls[i]}_")) for i in range(n_docs) if bat[i] == b]
+        if rows:
+            batches.append(_docs(spark, rows))
+    kept_per_batch, _ = _fold(spark, batches)
+    kept = sorted(i for ks in kept_per_batch for i in ks)
+
+    want = []
+    for c in set(cls):
+        members = [i for i in range(n_docs) if cls[i] == c]
+        first_batch = min(bat[i] for i in members)
+        want.append(min(i for i in members if bat[i] == first_batch))
+    assert kept == sorted(want)
