@@ -247,7 +247,16 @@ def incremental_dedup(
         .select(F.col("bid").alias("id")).distinct()
     )
 
-    dropped = exact_hit.unionByName(near_hit).distinct()
+    # materialize the dropped-id set: (a) the index probes (exact semi join
+    # + banded candidates + signature agreement) run ONCE, not once per
+    # consumer below; (b) CRITICALLY, it severs the additions' lineage from
+    # the live index tables — when `index` came from DedupIndex.load(), a
+    # lazy `dropped` would be RE-EVALUATED during DedupIndex.append() after
+    # the exact table has already been appended, see the batch's own
+    # fingerprints in the index, classify every kept doc as dropped, and
+    # write EMPTY sigs/bands additions (silent near-dup memory loss;
+    # regression-pinned by tests asserting sigs/bands after append)
+    dropped = exact_hit.unionByName(near_hit).distinct().localCheckpoint()
     kept_ids = rep_rows.select("id").join(dropped, "id", "anti")
     kept = batch.join(kept_ids.withColumnRenamed("id", id_col), id_col, "semi")
     additions = IndexRows(
@@ -295,10 +304,26 @@ class DedupIndex:
         for attr, table, key in self._tables():
             write_bucketed(getattr(additions, attr), table, key,
                            self.n_buckets, sort_cols=[key], mode=mode)
+        self._refresh()
+
+    def _refresh(self) -> None:
+        """Invalidate cached table relations in this store's session. Table
+        relation caches (the file listing) are PER SESSION STATE: an append
+        executed by a different session — foreachBatch hands its handler a
+        CLONED session, so streaming ingest is exactly this case — lands on
+        disk and in the shared catalog, but this session keeps serving the
+        stale pre-append file list until a refresh (probed: clone read N+1
+        rows, owner read N until REFRESH TABLE)."""
+        for _, table, _ in self._tables():
+            if self.spark.catalog.tableExists(table):
+                self.spark.catalog.refreshTable(table)
 
     def load(self) -> IndexRows:
         """Read the index back WITH bucket metadata (spark.table — a
-        path read would drop the spec and re-shuffle every join)."""
+        path read would drop the spec and re-shuffle every join).
+        Refreshes first so appends committed by OTHER sessions (streaming
+        epochs) are visible — see :meth:`_refresh`."""
+        self._refresh()
         t = {attr: self.spark.table(table) for attr, table, _ in self._tables()}
         return IndexRows(**t)
 

@@ -52,14 +52,15 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
 
 
 def join_exchange_count(joined: DataFrame) -> int:
-    """Number of shuffle exchanges feeding the plan's first shuffle join
-    (its subtree only, same walk as :func:`is_shuffle_free_join`): 2 = both
-    sides shuffle (no co-location), 1 = one side pre-partitioned (the
-    bucketed-index-vs-small-batch asymmetry incremental_dedup relies on),
-    0 = fully co-located. -1 when the plan has no shuffle join."""
+    """Number of shuffle exchanges feeding the plan's first shuffle join:
+    2 = both sides shuffle (no co-location), 1 = one side pre-partitioned
+    (the bucketed-index-vs-small-batch asymmetry incremental_dedup relies
+    on), 0 = fully co-located. -1 when the plan has no shuffle join."""
     import re
 
     plan = joined._jdf.queryExecution().executedPlan().toString()
+    # an executed AQE plan appends an "== Initial Plan ==" section that
+    # re-prints the pre-adaptive tree — only the final plan is the verdict
     plan = plan.split("== Initial Plan ==", 1)[0]
     lines = plan.splitlines()
     join_at = next((i for i, ln in enumerate(lines)
@@ -67,6 +68,12 @@ def join_exchange_count(joined: DataFrame) -> int:
     if join_at is None:
         return -1
 
+    # count only the JOIN'S OWN SUBTREE: tree printing is pre-order, so a
+    # later sibling subtree of an ancestor (e.g. the second branch of a
+    # union above the join) also prints after the join line — but at an
+    # indent depth <= the join's, which is where the subtree ends. Plan
+    # parents print ABOVE the join line, so exchanges layered on top of the
+    # join (a groupBy on another key, an orderBy) never count.
     def depth(ln: str) -> int:
         return len(re.match(r"^[\s:+-]*", ln).group(0))
 
@@ -92,31 +99,4 @@ def is_shuffle_free_join(joined: DataFrame) -> bool:
     "did bucketing remove the shuffle from a shuffle join". AQE keeps
     exchanges visible in the final plan string when they exist, so absence
     is meaningful."""
-    import re
-
-    plan = joined._jdf.queryExecution().executedPlan().toString()
-    # an executed AQE plan appends an "== Initial Plan ==" section that
-    # re-prints the pre-adaptive tree — only the final plan is the verdict
-    plan = plan.split("== Initial Plan ==", 1)[0]
-    lines = plan.splitlines()
-    join_at = next((i for i, ln in enumerate(lines)
-                    if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln), None)
-    if join_at is None:
-        return False
-
-    # walk only the JOIN'S OWN SUBTREE: tree printing is pre-order, so a
-    # later sibling subtree of an ancestor (e.g. the second branch of a
-    # union above the join) also prints after the join line — but at an
-    # indent depth <= the join's, which is where the subtree ends. Counting
-    # only deeper lines keeps an unrelated exchange in such a branch from
-    # flipping the verdict to a false "not shuffle-free".
-    def depth(ln: str) -> int:
-        return len(re.match(r"^[\s:+-]*", ln).group(0))
-
-    d_join = depth(lines[join_at])
-    for ln in lines[join_at + 1:]:
-        if ln.strip() and depth(ln) <= d_join:
-            break
-        if "Exchange hashpartitioning" in ln:
-            return False
-    return True
+    return join_exchange_count(joined) == 0

@@ -141,9 +141,16 @@ def test_bucketed_index_round_trip_and_one_sided_shuffle(spark, no_broadcast, tm
         kept2_mem, _ = incremental_dedup(b2, mem_idx)
         assert _ids(kept2_mem) == [102]
 
-        # append the second batch and confirm the cumulative index state
+        # append the second batch and confirm the cumulative index state in
+        # ALL THREE tables — sigs/bands specifically: append() mutates the
+        # tables one by one, and additions left lazy against the loaded
+        # index would re-evaluate mid-append against the already-updated
+        # exact table and write EMPTY sigs/bands (the severed-lineage bug)
         store.append(adds2)
-        assert _ids(store.load().exact, "id") == [1, 2, 102]
+        cumulative = store.load()
+        assert _ids(cumulative.exact, "id") == [1, 2, 102]
+        assert _ids(cumulative.sigs, "id") == [1, 2, 102]
+        assert sorted(set(r.id for r in cumulative.bands.collect())) == [1, 2, 102]
 
         # the scale property: joining a fresh batch's band rows against the
         # LOADED index shuffles only the batch side (1 exchange); the same

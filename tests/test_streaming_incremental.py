@@ -49,6 +49,19 @@ def test_streaming_incremental_dedup_remembers_across_restarts(spark, tmp_path):
         streaming_incremental_dedup(
             spark.readStream.schema(schema).parquet(src), store, out, ck)
         assert _kept_ids(spark, out) == [1, 2, 13]
+
+        # near-dup memory must accumulate in ALL index tables across
+        # batches (not just exact): a third restart with a near-dup of the
+        # SECOND run's survivor must drop it, which requires doc 13's sigs
+        # and bands to have landed in the index
+        idx = store.load()
+        assert sorted(r.id for r in idx.sigs.collect()) == [1, 2, 13]
+        assert sorted(set(r.id for r in idx.bands.collect())) == [1, 2, 13]
+        near_c = _words("c").rsplit(" ", 1)[0] + " TAIL"
+        _msgs(spark, [(21, near_c)]).write.mode("append").parquet(src)
+        streaming_incremental_dedup(
+            spark.readStream.schema(schema).parquet(src), store, out, ck)
+        assert _kept_ids(spark, out) == [1, 2, 13]
     finally:
         store.drop()
 
