@@ -105,7 +105,13 @@ def _fingerprint_rows(docs: DataFrame, id_col: str, text_col: str,
     index."""
     return spread(docs, id_col).select(
         F.col(id_col).alias("id"),
-        F.sha2(F.col(text_col), 256).alias("fp"),
+        # null text folds to a sentinel OUTSIDE sha256's hex alphabet so the
+        # cross-batch exact check (plain-equality semi join — null keys never
+        # match themselves) drops later null-text arrivals exactly like the
+        # intra-batch window (whose partitionBy DOES group nulls) and like
+        # whole-corpus dedup(); without this every batch would re-accept one
+        # null-text survivor forever
+        F.coalesce(F.sha2(F.col(text_col), 256), F.lit("null")).alias("fp"),
         word_shingles(F.col(text_col), shingle_words).alias("shingles"),
     ).withColumn(
         "minhash",
@@ -198,8 +204,9 @@ def incremental_dedup(
     fpr = _fingerprint_rows(batch, id_col, text_col, shingle_words, bands,
                             rows, hash_fn)
 
-    # 1a. exact intra-batch: lowest id per sha256 (null fps — null text —
-    # group together, the dedup() convention)
+    # 1a. exact intra-batch: lowest id per sha256 (null text shares the
+    # "null" sentinel fp, so it groups together — the dedup() convention —
+    # intra-batch AND across batches)
     w = Window.partitionBy("fp").orderBy(F.col("id"))
     exact_kept = (fpr.withColumn("_rn", F.row_number().over(w))
                   .where(F.col("_rn") == 1).drop("_rn"))

@@ -35,6 +35,26 @@ _SHUFFLE_NODE_RE = re.compile(
     r"(?m)^[\s+:-]*(?:Aggregate|Join|RepartitionByExpression|Repartition|"
     r"Sort|Window|Deduplicate|Intersect|Except|GlobalLimit)\b")
 
+# Spark size-string grammar (JavaUtils.byteStringAsBytes): optional
+# binary-power suffix, case-insensitive, no fractions. Bare numbers are
+# bytes — the form spark.conf.get returns for programmatically-set values.
+_BYTE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+                "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+                "t": 1 << 40, "tb": 1 << 40, "p": 1 << 50, "pb": 1 << 50}
+_BYTE_STRING_RE = re.compile(r"^\s*(\d+)\s*([a-zA-Z]*)\s*$")
+
+
+def _parse_byte_string(raw: str, default: int = 128 << 20) -> int:
+    """Parse a Spark size config ('134217728', '128m', '1g') to bytes.
+    Mirrors the JVM's JavaUtils.byteStringAsBytes so a user-set suffixed
+    maxPartitionBytes doesn't get read as a byte count (which would inflate
+    the split estimate ~10^6x and silently disable the spread() gate)."""
+    m = _BYTE_STRING_RE.match(raw or "")
+    if not m:
+        return default
+    mult = _BYTE_SUFFIX.get(m.group(2).lower())
+    return int(m.group(1)) * mult if mult else default
+
 
 def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     """Raise the partition count to the session's core count before a
@@ -82,8 +102,7 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     raw = spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
-    digits = "".join(c for c in raw if c.isdigit())
-    max_bytes = int(digits) if digits else 128 << 20
+    max_bytes = _parse_byte_string(raw)
     splits = 0
     for f in files:
         p = jvm.org.apache.hadoop.fs.Path(f)

@@ -74,8 +74,14 @@ def main() -> None:
                     out[q][side].append({"err": r.stderr[-300:]})
         a = min(x.get("sec", float("inf")) for x in out[q]["A"])
         b = min(x.get("sec", float("inf")) for x in out[q]["B"])
-        print(f"{q}: A(base)={a:.2f}s B(cand)={b:.2f}s ratio B/A={b/a:.3f}",
-              file=sys.stderr, flush=True)
+        if a == float("inf") or b == float("inf"):
+            bad = " ".join(s for s, v in (("A", a), ("B", b))
+                           if v == float("inf"))
+            print(f"{q}: ALL REPS FAILED on side(s) {bad} — no ratio; "
+                  "see 'err' entries in the JSON", file=sys.stderr, flush=True)
+        else:
+            print(f"{q}: A(base)={a:.2f}s B(cand)={b:.2f}s ratio B/A={b/a:.3f}",
+                  file=sys.stderr, flush=True)
     print(json.dumps(out))
 
 

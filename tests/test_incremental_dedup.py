@@ -219,3 +219,28 @@ def test_greedy_exact_policy_any_split_order(spark, data):
         first_batch = min(bat[i] for i in members)
         want.append(min(i for i in members if bat[i] == first_batch))
     assert kept == sorted(want)
+
+
+def test_null_text_deduped_across_batches(spark):
+    # null text folds to the sentinel fp, so exactly ONE null-text doc
+    # survives the whole fold (the fix for the plain-equality semi join,
+    # where fp=NULL never matched itself and every batch re-accepted one
+    # null survivor and grew the index forever)
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType(), False),
+                           T.StructField("text", T.StringType(), True)])
+    b1 = spark.createDataFrame([(1, None), (2, _words("a"))], schema)
+    b2 = spark.createDataFrame([(101, None), (102, _words("b"))], schema)
+    b3 = spark.createDataFrame([(201, None)], schema)
+    kept, idx = _fold(spark, [b1, b2, b3])
+    assert kept == [[1, 2], [102], []]
+    # the sentinel fp is indexed once, and is not a hex sha256
+    fps = [r[0] for r in idx.exact.select("fp").collect()]
+    assert fps.count("null") == 1
+    # null text also matches whole-corpus dedup()
+    from amharic_ecommerce_data_extractor_spark.operators.dedup import dedup
+    whole = spark.createDataFrame(
+        [(1, None), (2, _words("a")), (101, None), (102, _words("b")),
+         (201, None)], schema)
+    assert sorted(kept[0] + kept[1]) == _ids(dedup(whole))
