@@ -1,0 +1,80 @@
+"""Spark-free CPU-delivery probe for the scaling gate's denominator.
+
+The N->4N scaling gate assumes the host actually delivers 4x the CPU when
+4x the workers run. On an overcommitted hypervisor that assumption fails
+for ANY program: steal rises with the guest's own usage, so 8 busy vCPUs
+get proportionally less than 2 busy vCPUs. This probe measures that
+directly with pure-Python sha256 hashing (no Spark, no I/O, no shuffle):
+interleaved pairs of (lo, hi) worker counts, fixed wall-time per level,
+efficiency = (rate_hi / rate_lo) / (hi / lo). If THIS number is below the
+0.8 gate, the box cannot evidence the gate for any workload, and a Spark
+run's sub-gate pair is a host artifact, not a plan defect.
+
+Usage: python scripts/cpu_scaling_probe.py [--levels 2,8] [--pairs 3]
+Prints one JSON line; record it next to scaling_r5_run*.json.
+"""
+
+import argparse
+import hashlib
+import json
+import multiprocessing as mp
+import os
+import time
+
+
+def _burn(seconds: float, out):
+    payload = b"x" * 4096
+    t_end = time.perf_counter() + seconds
+    n = 0
+    h = hashlib.sha256
+    while time.perf_counter() < t_end:
+        for _ in range(200):
+            payload = h(payload).digest() * 128
+        n += 200
+    out.put(n)
+
+
+def rate(workers: int, seconds: float) -> float:
+    q = mp.Queue()
+    ps = [mp.Process(target=_burn, args=(seconds, q)) for _ in range(workers)]
+    t0 = time.perf_counter()
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return total / (time.perf_counter() - t0)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--levels", default="2,8")
+    ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--seconds", type=float, default=15.0)
+    args = ap.parse_args()
+    lo, hi = (int(x) for x in args.levels.split(","))
+
+    rate(lo, 2.0)  # discarded warm-up
+    pairs = []
+    for _ in range(args.pairs):
+        l0 = os.getloadavg()[0]
+        r_lo = rate(lo, args.seconds)
+        l1 = os.getloadavg()[0]
+        r_hi = rate(hi, args.seconds)
+        l2 = os.getloadavg()[0]
+        pairs.append({
+            "lo": round(r_lo), "hi": round(r_hi),
+            "efficiency": round((r_hi / r_lo) / (hi / lo), 4),
+            "load_1m": [l0, l1, l2],
+        })
+    best = max(p["efficiency"] for p in pairs)
+    print(json.dumps({
+        "metric": "raw_cpu_scaling_efficiency", "unit": "ratio",
+        "levels": [lo, hi], "best": best, "pairs": pairs,
+        "note": "pure sha256 burn, no Spark — upper bound on what ANY "
+                "workload can show for lo->hi scaling on this host",
+    }))
+
+
+if __name__ == "__main__":
+    main()
