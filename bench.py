@@ -37,6 +37,30 @@ def _loadavg() -> float:
         return -1.0
 
 
+def _cpustat() -> list[int] | None:
+    """Aggregate /proc/stat CPU ticks (user nice system idle iowait irq
+    softirq steal ...) — a window's delta shows where the host's capacity
+    actually went."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError, IndexError):  # pragma: no cover - non-linux
+        return None
+
+
+def _steal_pct(s0: list[int] | None, s1: list[int] | None) -> float | None:
+    """Percent of the window's total CPU capacity the hypervisor withheld
+    (steal ticks). Load averages cannot show this: a co-tenant VM slows this
+    guest while every local process looks idle — the round-5 host-2 scaling
+    collapse signature. Recorded per timed unit for the same reason as
+    load_1m."""
+    if not s0 or not s1 or len(s0) < 8 or len(s1) < 8:
+        return None
+    d = [b - a for a, b in zip(s0, s1)]
+    tot = sum(d)
+    return round(100 * d[7] / tot, 2) if tot > 0 else None
+
+
 def _has_taskset() -> bool:
     import shutil as _sh
 
@@ -98,6 +122,7 @@ def run_kg(spark, n_messages: int, corpus_path: str | None = None) -> dict:
 
         cores = spark.sparkContext.defaultParallelism
         la0 = _loadavg()
+        cs0 = _cpustat()
         t0 = time.perf_counter()
         msgs = spark.read.parquet(corpus_path)
         ext_path = f"{workdir}/extracted"
@@ -136,6 +161,7 @@ def run_kg(spark, n_messages: int, corpus_path: str | None = None) -> dict:
         "triples_per_sec": round(n_triples / elapsed, 1),
         "messages_per_sec": round(n_messages / elapsed, 1),
         "load_1m": [la0, _loadavg()],
+        "steal_pct": _steal_pct(cs0, _cpustat()),
     }
 
 
@@ -150,12 +176,15 @@ def run_full(sf_dir: str, cpus: int) -> dict:
 
     timings: dict[str, float] = {}
     loads: dict[str, list[float]] = {}
+    steals: dict[str, float | None] = {}
     for name, fn in sorted(SPARK_QUERIES.items()):
         la0 = _loadavg()
+        cs0 = _cpustat()
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
         loads[name] = [la0, _loadavg()]
+        steals[name] = _steal_pct(cs0, _cpustat())
 
     # 2M messages at sf0.1: large enough that the recorded triples/sec is
     # dominated by pipeline work, not per-action fixed costs (generation is
@@ -176,6 +205,7 @@ def run_full(sf_dir: str, cpus: int) -> dict:
         "unit": "sec",
         "queries": timings,
         "load_1m": loads,
+        "steal_pct": steals,
         "sf": sf,
         "cpus": cpus,
         "kg": kg,
@@ -340,7 +370,9 @@ def run_scaling(sf_dir: str, levels=(2, 8), messages: int | None = None,
                 pairs.append({"lo": t_lo, "hi": t_hi,
                               "efficiency": round((t_hi / t_lo) / (hi / lo), 4),
                               "load_1m_lo": r_lo["kg"].get("load_1m"),
-                              "load_1m_hi": r_hi["kg"].get("load_1m")})
+                              "load_1m_hi": r_hi["kg"].get("load_1m"),
+                              "steal_pct_lo": r_lo["kg"].get("steal_pct"),
+                              "steal_pct_hi": r_hi["kg"].get("steal_pct")})
                 for cpus, r in ((lo, r_lo), (hi, r_hi)):
                     if cpus not in results or r["kg"]["triples_per_sec"] > \
                             results[cpus]["kg"]["triples_per_sec"]:

@@ -34,9 +34,27 @@ def _burn(seconds: float, out):
     out.put(n)
 
 
-def rate(workers: int, seconds: float) -> float:
+def _burn_mem(seconds: float, out):
+    """RAM-streaming burn: each worker sums a 256 MiB array it cannot cache.
+    Separates the two ways a host fails the scaling gate: sha256 (_burn) is
+    L1-resident and shows pure CPU delivery; this shows whether the memory
+    subsystem can FEED hi-level workers — the bound that bites Spark's
+    parquet/Arrow/regex stages while steal_pct stays near zero."""
+    import numpy as np
+
+    a = np.random.default_rng(0).integers(0, 255, size=256 << 20 >> 3,
+                                          dtype=np.int64)
+    t_end = time.perf_counter() + seconds
+    n = 0
+    while time.perf_counter() < t_end:
+        n += int(a.sum() & 1) + 1  # forces the full stream each loop
+    out.put(n)
+
+
+def rate(workers: int, seconds: float, mem: bool = False) -> float:
     q = mp.Queue()
-    ps = [mp.Process(target=_burn, args=(seconds, q)) for _ in range(workers)]
+    target = _burn_mem if mem else _burn
+    ps = [mp.Process(target=target, args=(seconds, q)) for _ in range(workers)]
     t0 = time.perf_counter()
     for p in ps:
         p.start()
@@ -51,16 +69,18 @@ def main() -> None:
     ap.add_argument("--levels", default="2,8")
     ap.add_argument("--pairs", type=int, default=3)
     ap.add_argument("--seconds", type=float, default=15.0)
+    ap.add_argument("--mem", action="store_true",
+                    help="RAM-streaming burn instead of L1-resident sha256")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
 
-    rate(lo, 2.0)  # discarded warm-up
+    rate(lo, 2.0, args.mem)  # discarded warm-up
     pairs = []
     for _ in range(args.pairs):
         l0 = os.getloadavg()[0]
-        r_lo = rate(lo, args.seconds)
+        r_lo = rate(lo, args.seconds, args.mem)
         l1 = os.getloadavg()[0]
-        r_hi = rate(hi, args.seconds)
+        r_hi = rate(hi, args.seconds, args.mem)
         l2 = os.getloadavg()[0]
         pairs.append({
             "lo": round(r_lo), "hi": round(r_hi),
@@ -69,10 +89,15 @@ def main() -> None:
         })
     best = max(p["efficiency"] for p in pairs)
     print(json.dumps({
-        "metric": "raw_cpu_scaling_efficiency", "unit": "ratio",
+        "metric": ("raw_mem_scaling_efficiency" if args.mem
+                   else "raw_cpu_scaling_efficiency"),
+        "unit": "ratio",
         "levels": [lo, hi], "best": best, "pairs": pairs,
-        "note": "pure sha256 burn, no Spark — upper bound on what ANY "
-                "workload can show for lo->hi scaling on this host",
+        "note": ("numpy 256MiB-stream burn, no Spark — what the memory "
+                 "subsystem delivers lo->hi on this host"
+                 if args.mem else
+                 "pure sha256 burn, no Spark — upper bound on what ANY "
+                 "workload can show for lo->hi scaling on this host"),
     }))
 
 
