@@ -73,7 +73,11 @@ def _hf_pipeline(model_dir: str):
 
 
 def _extract_batch_rules(clean: pd.Series, with_contact_rule: bool) -> list[dict]:
-    return [lb.extract_message(c, with_contact_rule=with_contact_rule) for c in clean]
+    # memoized per worker process (kernels/labeler.py:_RECORD_CACHE): the
+    # kernel is pure in the text, message corpora repeat heavily, and this
+    # loop only READS record fields into Arrow columns (aliasing-safe)
+    return [lb.extract_message_cached(c, with_contact_rule=with_contact_rule)
+            for c in clean]
 
 
 def _records_from_spans(texts: list[str], results: list[list[dict]]) -> list[dict]:

@@ -66,3 +66,36 @@ def test_parse_price_charclass():
 def test_corrupted_label_is_O():
     got = lb.group_entities([("ቦሌ", "I-LOCገ"), ("x", "O")])
     assert got == {"PRODUCT": [], "PRICE": [], "LOC": [], "CONTACT_INFO": []}
+
+
+def test_cached_extract_matches_uncached_across_flags_and_duplicates():
+    """extract_message_cached is a pure memo: identical output to
+    extract_message for both with_contact_rule settings, keyed so the flag
+    cannot cross-contaminate, and stable across repeat calls (the Arrow
+    batch path re-reads the same record object for duplicate texts)."""
+    texts = [
+        "ምርጥ blender ዋጋ 500 ብር መገናኛ ሲቲ ሞል 0911223344",
+        "550ብር ዋጋ፦1,200 ብር በ 250 ብር",
+        "mini electric stove 2500 ብር +251911123456",
+        "",
+        "hello world nothing here",
+    ]
+    lb.extract_message_cached.cache_clear()
+    for flag in (True, False):
+        for t in texts * 3:  # duplicates exercise the hit path
+            assert lb.extract_message_cached(t, flag) == lb.extract_message(t, flag)
+    info = lb.extract_message_cached.cache_info()
+    # 5 texts x 2 flags distinct keys; the other 20 calls are hits
+    assert info.currsize == 10 and info.hits == 20
+
+
+def test_label_tokens_classification_cache_is_token_pure():
+    """_classify is keyed on the token alone; two sequences sharing tokens
+    in different positions must label independently of cache warm-up order."""
+    a = lb.label_tokens(["500", "ብር"])          # rule 1a: B-PRICE, I-PRICE
+    b = lb.label_tokens(["ብር", "500"])          # no lookahead hit
+    assert [l for _, l in a] == ["B-PRICE", "I-PRICE"]
+    assert [l for _, l in b] == ["O", "O"]
+    # warm cache, then repeat — identical results
+    assert lb.label_tokens(["500", "ብር"]) == a
+    assert lb.label_tokens(["ብር", "500"]) == b
