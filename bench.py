@@ -174,17 +174,38 @@ def run_full(sf_dir: str, cpus: int) -> dict:
     spark.range(10).count()  # JVM warm-up
     _warm_python_workers(spark, cpus)
 
+    # Steal-aware retry: on the round-5 host, hypervisor steal is
+    # LOAD-INDUCED (overcommit arbitration engages only while this guest
+    # demands full width — kg_runO_burst_strikes.json), so a single draw can
+    # land 2-5x slow through no property of the plan. A query whose window
+    # drew steal above the threshold gets ONE re-run; the better draw is
+    # reported and EVERY attempt is recorded verbatim under "steal_retries"
+    # so the artifact stays self-adjudicating. A negative threshold forces
+    # one retry on every query (test hook); a large one disables retries.
+    retry_pct = float(os.environ.get("SPARK_GRAFT_STEAL_RETRY_PCT", "2.0"))
     timings: dict[str, float] = {}
     loads: dict[str, list[float]] = {}
     steals: dict[str, float | None] = {}
+    retries: dict[str, list[dict]] = {}
     for name, fn in sorted(SPARK_QUERIES.items()):
-        la0 = _loadavg()
-        cs0 = _cpustat()
-        t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        loads[name] = [la0, _loadavg()]
-        steals[name] = _steal_pct(cs0, _cpustat())
+        tries: list[dict] = []
+        for _attempt in range(2):
+            la0 = _loadavg()
+            cs0 = _cpustat()
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            sec = round(time.perf_counter() - t0, 3)
+            tries.append({"sec": sec, "load_1m": [la0, _loadavg()],
+                          "steal_pct": _steal_pct(cs0, _cpustat())})
+            st = tries[-1]["steal_pct"]
+            if st is None or st <= retry_pct:
+                break
+        best = min(tries, key=lambda r: r["sec"])
+        timings[name] = best["sec"]
+        loads[name] = best["load_1m"]
+        steals[name] = best["steal_pct"]
+        if len(tries) > 1:
+            retries[name] = tries
 
     # 2M messages at sf0.1: large enough that the recorded triples/sec is
     # dominated by pipeline work, not per-action fixed costs (generation is
@@ -206,6 +227,8 @@ def run_full(sf_dir: str, cpus: int) -> dict:
         "queries": timings,
         "load_1m": loads,
         "steal_pct": steals,
+        "steal_retry_pct": retry_pct,
+        "steal_retries": retries,
         "sf": sf,
         "cpus": cpus,
         "kg": kg,
