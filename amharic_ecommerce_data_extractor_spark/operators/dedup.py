@@ -51,6 +51,18 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def _member_pairs(members_col):
+    """array<struct<src,dst>> of all (a < b) combinations of an ASCENDING
+    member array — pure array arithmetic, no join."""
+    m = F.col(members_col)
+    return F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size(m) - 1),
+        lambda i: F.transform(
+            F.slice(m, i + 1, F.size(m) - i),
+            lambda b: F.struct(F.element_at(m, i).alias("src"),
+                               b.alias("dst")))))
+
+
 def minhash_duplicate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -67,22 +79,81 @@ def minhash_duplicate_pairs(
     hash_fn='md5' is the cross-engine-verifiable variant. pair_mode='star'
     emits a per-bucket spanning star instead of the full clique — O(bucket)
     edges, the CC-consumer setting for corpora with huge duplicate clusters
-    (see banded_candidate_pairs)."""
+    (see banded_candidate_pairs).
+
+    pair_mode='all' runs GROUPED BY DISTINCT TEXT: identical text ⇒
+    identical shingle set ⇒ identical MinHash ⇒ identical band keys, so the
+    shingling/MinHash pass runs once per distinct text and the quadratic
+    band-bucket pair enumeration runs over text-group representatives; the
+    exact per-document pair list is reconstructed afterwards — cross-group
+    candidates expand members_a × members_b with the group pair's verified
+    Jaccard, and within-group pairs (always banded together, Jaccard exactly
+    1.0 on identical sets) come from a pure array expansion, no join. On a
+    corpus whose duplicate factor is f this divides candidate-pair work by
+    ~f² (measured sf1.0 doubled-documents: 43.4M → 10.9M candidates) and is
+    the identity when every text is distinct. Star mode is left ungrouped:
+    its consumers (dedup/curate/incremental) run it after exact dedup, where
+    groups are singletons by construction."""
     # spread BEFORE shingling: the repartition (a no-op on well-partitioned
     # input) moves raw text, and the dense per-shingle hashing below then
     # runs at full core count even when the scan was one split
-    sh = spread(df, id_col).select(
-        F.col(id_col).alias("nid"),
-        word_shingles(F.col(text_col), shingle_words).alias("shingles"),
-    ).where(F.size("shingles") > 0)
-    # barrier before banding: see linking.lsh_candidate_pairs — prevents the
-    # signature from being recomputed per band and per self-join side
+    if pair_mode != "all":
+        sh = spread(df, id_col).select(
+            F.col(id_col).alias("nid"),
+            word_shingles(F.col(text_col), shingle_words).alias("shingles"),
+        )
+        # barrier before banding: see linking.lsh_candidate_pairs — prevents
+        # the signature from being recomputed per band and per self-join side.
+        # The empty-shingle filter comes AFTER the barrier: a size() filter
+        # on the derived array before it is pushed below the projection and
+        # re-evaluates the whole shingle expression per filter site
+        # (measured 5.4 s -> 29.3 s on the sf1.0 grouped twin of this plan).
+        sig_df = sh.withColumn(
+            "minhash", minhash_signature(F.col("shingles"), bands * rows, hash_fn)
+        ).localCheckpoint().where(F.size("shingles") > 0)
+        return (banded_candidate_pairs(sig_df, bands, rows, hash_fn,
+                                       pair_mode=pair_mode)
+                .where(F.col("sim") >= threshold)
+                .withColumnRenamed("sim", "jaccard"))
+
+    # no spread here: the groupBy's own shuffle already redistributes the
+    # texts to spark.sql.shuffle.partitions, so the heavy shingling below
+    # runs at full width regardless of the scan's split count
+    groups = (df
+              .select(F.col(id_col).alias("nid"), F.col(text_col).alias("_t"))
+              .groupBy("_t")
+              .agg(F.sort_array(F.collect_list("nid")).alias("members"))
+              .select(F.element_at("members", 1).alias("nid"), "members", "_t"))
+    sh = groups.select(
+        "nid", "members",
+        word_shingles(F.col("_t"), shingle_words).alias("shingles"),
+    )
+    # empty-shingle filter AFTER the barrier (see the star branch above): a
+    # pre-barrier size() filter is pushed below the groupBy into both union
+    # branches and re-evaluates the shingle expression 3x over the raw rows
     sig_df = sh.withColumn(
         "minhash", minhash_signature(F.col("shingles"), bands * rows, hash_fn)
-    ).localCheckpoint()
-    return (banded_candidate_pairs(sig_df, bands, rows, hash_fn, pair_mode=pair_mode)
-            .where(F.col("sim") >= threshold)
-            .withColumnRenamed("sim", "jaccard"))
+    ).localCheckpoint().where(F.size("shingles") > 0)
+    gpairs = (banded_candidate_pairs(sig_df.select("nid", "shingles", "minhash"),
+                                     bands, rows, hash_fn, pair_mode="all")
+              .where(F.col("sim") >= threshold))
+    mem = sig_df.select(F.col("nid").alias("_g"), "members")
+    cross = (gpairs
+             .join(mem.select(F.col("_g").alias("src"),
+                              F.col("members").alias("_ma")), "src")
+             .join(mem.select(F.col("_g").alias("dst"),
+                              F.col("members").alias("_mb")), "dst")
+             .select(F.explode("_ma").alias("a"), "_mb", "sim")
+             .select("a", F.explode("_mb").alias("b"), "sim")
+             .select(F.least("a", "b").alias("src"),
+                     F.greatest("a", "b").alias("dst"),
+                     F.col("sim").alias("jaccard")))
+    within = (sig_df.where(F.size("members") >= 2)
+              .select(F.explode(_member_pairs("members")).alias("p"))
+              .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"),
+                      F.lit(1.0).alias("jaccard"))
+              .where(F.lit(1.0) >= threshold))
+    return cross.unionByName(within)
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 2, threshold: float = 0.5,

@@ -301,13 +301,16 @@ def lsh_candidate_pairs(
             char_shingles(F.col(text_col), shingle_n).alias("shingles")]
     if group_col:
         cols.append(F.col(group_col).alias(group_col))
-    sh = spread(surfaces, id_col).select(*cols).where(F.size("shingles") > 0)
+    sh = spread(surfaces, id_col).select(*cols)
     # localCheckpoint = optimizer barrier: without it the MinHash signature
     # subtree is re-inlined (CollapseProject) and recomputed once per band
-    # AND once per self-join side
+    # AND once per self-join side. The empty-shingle filter applies AFTER
+    # the barrier: pre-barrier it is pushed below the projection and
+    # re-evaluates the whole shingle expression per filter site (see
+    # dedup.minhash_duplicate_pairs, measured 5.4 s -> 29.3 s at sf1.0).
     sig_df = sh.withColumn(
         "minhash", minhash_signature(F.col("shingles"), bands * rows, hash_fn)
-    ).localCheckpoint()
+    ).localCheckpoint().where(F.size("shingles") > 0)
     return (banded_candidate_pairs(sig_df, bands, rows, hash_fn, group_col=group_col)
             .where(F.col("sim") >= threshold))
 
@@ -353,14 +356,75 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _unionfind_components(edges: DataFrame) -> DataFrame:
+    """Single-task exact union-find over a small edge set: the edges are
+    coalesced into ONE Arrow stream and a path-compressing union-find (an
+    executor-side task, not a driver loop) labels every node with the MIN
+    node id of its component — the same fixed point the star iteration
+    reaches, in one job instead of ~5 shuffle stages × log(diameter) rounds.
+    Only called when the edge count is known small (see connected_components'
+    local_threshold gate); memory is O(nodes) longs in one python worker."""
+    def _uf(batches):
+        import pyarrow as _pa
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:      # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for batch in batches:
+            src = batch.column(0).to_pylist()
+            dst = batch.column(1).to_pylist()
+            for a, b in zip(src, dst):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min: smaller id becomes the root, so the final
+                    # root of every tree IS the component minimum
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        nodes = list(parent)
+        comps = [find(n) for n in nodes]
+        yield _pa.RecordBatch.from_arrays(
+            [_pa.array(nodes, type=_pa.int64()),
+             _pa.array(comps, type=_pa.int64())],
+            schema=_pa.schema([("node", _pa.int64()),
+                               ("component", _pa.int64())]))
+
+    return (edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+            .coalesce(1).mapInArrow(_uf, "node long, component long"))
+
+
 def connected_components(edges: DataFrame, max_iter: int = 50,
-                         stats: dict | None = None) -> DataFrame:
+                         stats: dict | None = None,
+                         local_threshold: int = 5_000_000) -> DataFrame:
     """Undirected (src, dst) edges → (node, component) with component = min
     node id reachable. Isolated nodes absent from `edges` are handled by the
     caller (left join + coalesce to self).
 
+    local_threshold: edge sets below this count (known from the signature
+    action the loop takes anyway) run a single-task union-find
+    (_unionfind_components) instead of the star iteration — identical
+    result, one job instead of rounds × shuffle-stages (measured: the
+    near-dup graphs every dedup/linking query produces are 10²-10⁵ edges
+    with 3-6 star rounds of pure fixed cost). 5M edges ≈ 80 MB of longs in
+    one python worker — comfortably one task; set 0 to force the
+    distributed path (the 10⁶-edge stress test does, to keep exercising
+    it), raise only with matching executor memory.
+
     stats (optional out-param) receives {'rounds': r, 'converged': bool} —
-    the large/small-star iteration count actually executed. Test/ops hook:
+    the large/small-star iteration count actually executed (rounds=0,
+    converged=True for the union-find fast path). Test/ops hook:
     lets callers pin the per-round cost (one ACTION per round — the lazy
     localCheckpoint is materialized by the signature aggregate, never by a
     separate checkpoint job; under AQE one action still fans out into one
@@ -368,13 +432,19 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     rounds × plan-shuffle-stages, not rounds × 2)."""
     cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     cur = cur.localCheckpoint()
+    n_edges = _signature(cur)[0]
+    if n_edges < local_threshold:
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["converged"] = True
+        return _unionfind_components(cur)
     # adaptive parallelism: entity-link edge sets are usually tiny and
     # per-iteration task/shuffle overhead dominates at high partition counts.
     # Explicit per-frame repartition only — NEVER mutate session conf here
     # (a mid-run spark.sql.shuffle.partitions override silently leaks into
     # concurrently-planned queries in the same session); AQE coalescing
     # shrinks the interior groupBy/join exchanges on its own.
-    small = _signature(cur)[0] < 100_000
+    small = n_edges < 100_000
     if small:
         cur = cur.repartition(8).localCheckpoint()
     prev_sig = None

@@ -40,21 +40,70 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k. queries must be small (is broadcast)."""
-    # norms are computed once per row BEFORE the join (O(n+q) not O(n·q))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-                       _norm(F.col(vec_col)).alias("q_norm"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
-                      _norm(F.col(vec_col)).alias("c_norm"))
-    pairs = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                (_dot(F.col("q_vec"), F.col("c_vec"))
-                 / (F.col("q_norm") * F.col("c_norm"))).alias("sim"))
-    )
+    """Exact cosine top-k. queries must be small (is collected + broadcast —
+    the same driver/executor footprint as the broadcast cross join this
+    replaces).
+
+    Physical shape: one Arrow pass over the corpus (``mapInArrow``) computes
+    each batch's |batch|×|Q| similarity matrix as a single float64 BLAS
+    matmul and emits only each query's per-batch top-k candidate rows
+    (including every row tied with the k-th similarity, so the global top-k
+    under (sim desc, neighbor_id asc) is exactly preserved); a final tiny
+    window over ~|Q|·k·n_batches candidate rows ranks them. The earlier
+    formulation — a broadcast cross join scoring every pair through
+    interpreted ``zip_with``/``aggregate`` lambdas — paid ~12 µs/pair on the
+    JVM (96 s for 400×20k pairs at sf1.0); the matmul pays nanoseconds/pair
+    and shuffles only candidates.
+    """
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_unit))
+    kk = int(k)
+
+    def part_topk(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        ids_b, qu_b = bq.value
+        nq = len(ids_b)
+        out_schema = _pa.schema([("query_id", _pa.int64()),
+                                 ("neighbor_id", _pa.int64()),
+                                 ("sim", _pa.float64())])
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0 or nq == 0:
+                continue
+            nid = batch.column(0).to_numpy(zero_copy_only=False).astype(_np.int64)
+            flat = _np.asarray(batch.column(1).flatten(), dtype=_np.float64)
+            c = flat.reshape(n, len(flat) // n)
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                c_unit = c / _np.linalg.norm(c, axis=1, keepdims=True)
+                sims = c_unit @ qu_b.T                       # (n, nq)
+            # self-pairs excluded exactly as the join's query_id != neighbor_id
+            sims[nid[:, None] == ids_b[None, :]] = -_np.inf
+            if n > kk:
+                # k-th largest per query column; keep EVERY row >= it so
+                # boundary ties (identical vectors) can never evict the
+                # neighbor the global (sim, id asc) order would keep
+                thresh = _np.partition(sims, n - kk, axis=0)[n - kk]
+            else:
+                thresh = _np.full(nq, -_np.inf)
+            keep_i, keep_j = _np.nonzero((sims >= thresh) & _np.isfinite(sims))
+            yield _pa.RecordBatch.from_arrays(
+                [_pa.array(ids_b[keep_j]), _pa.array(nid[keep_i]),
+                 _pa.array(sims[keep_i, keep_j])], schema=out_schema)
+
+    from .linking import spread
+
+    cand = (spread(corpus, id_col).select(F.col(id_col), F.col(vec_col))
+            .mapInArrow(part_topk, "query_id long, neighbor_id long, sim double"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (pairs.withColumn("rnk", F.row_number().over(w))
+    return (cand.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)
             .select("query_id", "neighbor_id", "sim", "rnk"))
 

@@ -231,8 +231,9 @@ def q07(spark, sf_dir):
 SELECT dayname(ts) AS dow, count(*) AS n FROM events GROUP BY 1
 """)
 def q08(spark, sf_dir):
-    return _t(spark, sf_dir, "events").groupBy(
-        F.date_format("ts", "EEEE").alias("dow")).agg(F.count("*").alias("n"))
+    from .operators.eda import dow_histogram
+
+    return dow_histogram(_t(spark, sf_dir, "events"), "ts")
 
 
 @_q("q09_distinct_users_by_type", """
@@ -770,6 +771,17 @@ _FIXTURES = _os.path.join(
     "tests", "fixtures", "oracle")
 
 
+def _scratch_dir(prefix: str) -> str:
+    """tmpfs-backed scratch for the queries that materialize a transient
+    input/sink (streaming parity, the q46 index): same discipline as
+    bench.py's run_kg — the measurement targets compute, not the container
+    filesystem's write bandwidth. Falls back to the default tempdir."""
+    import tempfile
+
+    base = "/dev/shm" if _os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 @_q("q32_kg_triples_profile", f"""
 SELECT pred, n_triples, n_subjects, n_objects
 FROM read_parquet('{_FIXTURES}/q32_kg_triples_profile.parquet')
@@ -807,7 +819,7 @@ def q47(spark, sf_dir):
         streaming_triples,
     )
 
-    workdir = tempfile.mkdtemp(prefix="q47_stream_")
+    workdir = _scratch_dir("q47_stream_")
     try:
         _synth(spark).write.parquet(f"{workdir}/in")
         stream = read_message_stream(spark, f"{workdir}/in",
@@ -1064,7 +1076,7 @@ def q46(spark, sf_dir):
         v = [float(x) for x in r["embedding"]]
         nrm = math.sqrt(sum(x * x for x in v))
         cents.append([x / nrm for x in v])
-    idx = tempfile.mkdtemp(prefix="ivf_q46_")
+    idx = _scratch_dir("ivf_q46_")
     try:
         ivf_index_write(emb, cents, idx)
         queries = emb.where(F.col("vec_id") % 100 == 0)
@@ -1524,7 +1536,7 @@ def q49(spark, sf_dir):
         stateful_vendor_totals,
     )
 
-    workdir = tempfile.mkdtemp(prefix="q49_stream_")
+    workdir = _scratch_dir("q49_stream_")
     try:
         _events_as_messages(spark, sf_dir).write.parquet(f"{workdir}/in")
         stream = (spark.readStream.schema(_MSG_STREAM_SCHEMA)
@@ -1566,7 +1578,7 @@ def q50(spark, sf_dir):
         windowed_vendor_activity,
     )
 
-    workdir = tempfile.mkdtemp(prefix="q50_stream_")
+    workdir = _scratch_dir("q50_stream_")
     try:
         _events_as_messages(spark, sf_dir).write.parquet(f"{workdir}/in")
         stream = (spark.readStream.schema(_MSG_STREAM_SCHEMA)

@@ -48,7 +48,11 @@ def test_path_graph_million_edges_converges_one_action_per_round(spark):
     sc.setJobGroup(group, "cc path-graph stress")
     cc_stats: dict = {}
     try:
-        comp = connected_components(edges, max_iter=MAX_ITER, stats=cc_stats)
+        # local_threshold=0: this test exists to exercise the DISTRIBUTED
+        # star iteration at adversarial diameter; the default threshold would
+        # route a 10^6-edge set to the single-task union-find fast path
+        comp = connected_components(edges, max_iter=MAX_ITER, stats=cc_stats,
+                                    local_threshold=0)
         stats = comp.agg(
             F.count("*").alias("n_nodes"),
             F.countDistinct("component").alias("n_components"),

@@ -47,6 +47,29 @@ def test_connected_components_vs_union_find(spark, n, m, seed):
     assert got == want
 
 
+@pytest.mark.parametrize("n,m,seed", [(60, 80, 7), (40, 20, 8)])
+def test_cc_fastpath_matches_distributed(spark, n, m, seed):
+    """The single-task union-find fast path (default for small edge sets)
+    must reach exactly the star iteration's fixed point, and the threshold
+    gate must route: small set → rounds=0 (fast path), forced distributed →
+    rounds>0."""
+    rng = random.Random(seed)
+    edges = [(a, b) for a, b in
+             ((rng.randint(0, n - 1), rng.randint(0, n - 1)) for _ in range(m))
+             if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    st_fast: dict = {}
+    fast = {r["node"]: r["component"]
+            for r in connected_components(df, stats=st_fast).collect()}
+    st_dist: dict = {}
+    dist = {r["node"]: r["component"]
+            for r in connected_components(df, stats=st_dist,
+                                          local_threshold=0).collect()}
+    assert fast == dist
+    assert st_fast["rounds"] == 0 and st_fast["converged"]
+    assert st_dist["rounds"] > 0 and st_dist["converged"]
+
+
 def test_connected_components_chain(spark):
     # worst-case diameter: a long path — star algorithm converges in O(log n)
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
@@ -67,7 +90,9 @@ def test_connected_components_warns_when_capped(spark):
     stats = {}
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        connected_components(df, max_iter=1, stats=stats)
+        # local_threshold=0 forces the iterative path (the fast path always
+        # reaches the exact fixed point, so max_iter cannot cap it)
+        connected_components(df, max_iter=1, stats=stats, local_threshold=0)
     assert not stats["converged"] and stats["rounds"] == 1
     assert any("fixed point" in str(w.message) for w in caught
                if issubclass(w.category, RuntimeWarning))
