@@ -54,6 +54,48 @@ ENTITY_FIELDS = [
 _HF_SINGLETON: dict = {}
 _NUMPY_SINGLETON: dict = {}
 
+# raw text → preprocessed text memo (per Python worker process, shared across
+# Arrow batches via spark.python.worker.reuse — same lifetime discipline as
+# kernels/labeler._RECORD_CACHE). The preprocessing chain is pure in the raw
+# text, and message corpora repeat heavily (25-50% duplicate mass on the
+# bench corpus, concentrated in a small hot head), but the vectorized
+# preprocess_series used to run over EVERY row of every batch regardless.
+# With the memo, repeated texts skip the 10-pass regex chain entirely; cache
+# misses still go through preprocess_series as one vectorized sub-batch.
+# Bounded by wholesale clear (no LRU bookkeeping in the hot path): the hot
+# head re-warms within a batch or two after a clear.
+_CLEAN_CACHE: dict[str, str] = {}
+_CLEAN_CACHE_MAX = 1 << 17
+
+
+def _preprocess_unique(uniques) -> list[str]:
+    """Preprocess an array of UNIQUE raw texts via the cross-batch memo;
+    misses run through the vectorized series kernel in one shot. Returns the
+    clean text per input position (output identical to
+    tp.preprocess_series element-wise — the chain is elementwise-pure)."""
+    cache = _CLEAN_CACHE
+    out: list = [None] * len(uniques)
+    miss_idx: list[int] = []
+    miss_vals: list = []
+    for i, t in enumerate(uniques):
+        if isinstance(t, str):
+            c = cache.get(t)
+            if c is not None:
+                out[i] = c
+                continue
+        miss_idx.append(i)
+        miss_vals.append(t)
+    if miss_idx:
+        cleaned = tp.preprocess_series(pd.Series(miss_vals, dtype=object)).tolist()
+        if len(cache) + len(miss_idx) > _CLEAN_CACHE_MAX:
+            cache.clear()
+        for i, c in zip(miss_idx, cleaned):
+            out[i] = c
+            t = uniques[i]
+            if isinstance(t, str):
+                cache[t] = c
+    return out
+
 
 def _hf_pipeline(model_dir: str):
     """Per-executor lazy singleton for the HF backend (one load per python
@@ -70,14 +112,6 @@ def _hf_pipeline(model_dir: str):
             "ner", model=model_dir, tokenizer=model_dir, aggregation_strategy="simple"
         )
     return _HF_SINGLETON["pipe"]
-
-
-def _extract_batch_rules(clean: pd.Series, with_contact_rule: bool) -> list[dict]:
-    # memoized per worker process (kernels/labeler.py:_RECORD_CACHE): the
-    # kernel is pure in the text, message corpora repeat heavily, and this
-    # loop only READS record fields into Arrow columns (aliasing-safe)
-    return [lb.extract_message_cached(c, with_contact_rule=with_contact_rule)
-            for c in clean]
 
 
 def _records_from_spans(texts: list[str], results: list[list[dict]]) -> list[dict]:
@@ -275,7 +309,18 @@ def extract_entities(
         if colocate_duplicates:
             df = df.repartition(target_partitions, F.col(text_col))
         else:
-            df = df.repartition(target_partitions)
+            # skip the round-robin shuffle (and its sort-before-repartition
+            # pass over every column) when the input is a narrow plan over a
+            # scan that already splits at least target_partitions ways — the
+            # load-balancing the repartition exists to buy (docstring below)
+            # is already provided by the many scan splits. Statically gated,
+            # same discipline as linking.spread: shuffle-bearing or
+            # unprobeable plans keep the explicit repartition.
+            from .linking import narrow_scan_splits
+
+            splits = narrow_scan_splits(df, stop_at=target_partitions)
+            if splits is None or splits < target_partitions:
+                df = df.repartition(target_partitions)
 
     if backend == "rules_jvm":
         # pure-JVM path: expression-chain preprocess + fold-based BIO
@@ -330,10 +375,30 @@ def extract_entities(
 
     @F.pandas_udf(entity_struct)
     def extract_udf(texts: pd.Series) -> pd.DataFrame:
-        clean = tp.preprocess_series(texts)
         if backend == "rules":
-            recs = _extract_batch_rules(clean, with_contact_rule)
-        elif backend == "hf":
+            # factorize: preprocess + label each DISTINCT raw text once per
+            # batch (plus the cross-batch _CLEAN_CACHE / _RECORD_CACHE memos)
+            # and expand per-row by code — element-wise identical to running
+            # the chain on every row, since both kernels are pure in the text
+            import numpy as np
+
+            codes, uniques = texts.factorize(use_na_sentinel=False)
+            uvals = np.asarray(uniques, dtype=object)
+            clean_u = _preprocess_unique(uvals)
+            recs_u = [lb.extract_message_cached(c, with_contact_rule=with_contact_rule)
+                      for c in clean_u]
+            out = pd.DataFrame(index=pd.RangeIndex(len(texts)))
+            if "preprocessed_text" not in drop:
+                cvals = np.empty(len(clean_u), dtype=object)
+                cvals[:] = clean_u
+                out["preprocessed_text"] = cvals[codes]
+            for field in array_fields:
+                fvals = np.empty(len(recs_u), dtype=object)
+                fvals[:] = [r[field] for r in recs_u]
+                out[field] = fvals[codes]
+            return out
+        clean = tp.preprocess_series(texts)
+        if backend == "hf":
             recs = _extract_batch_hf(clean, model_dir or "")
         elif backend == "numpy":
             recs = _extract_batch_numpy(clean, model_dir or "")
