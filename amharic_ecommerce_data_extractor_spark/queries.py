@@ -267,7 +267,11 @@ SELECT lang, count(*) AS n_docs,
 FROM documents GROUP BY lang
 """)
 def q11(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # spread (statically gated): the per-row split/size work otherwise runs
+    # entirely inside a 1-split scan stage at sandbox table sizes
+    from amharic_ecommerce_data_extractor_spark.operators.linking import spread
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg(F.length("text")), 6).alias("avg_len"),
@@ -282,7 +286,9 @@ FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
 WHERE w <> '' GROUP BY lang
 """)
 def q12(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    from amharic_ecommerce_data_extractor_spark.operators.linking import spread
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     return (d.select("lang", F.explode(F.split("text", " ")).alias("w"))
             .where(F.col("w") != "")
             .groupBy("lang").agg(F.countDistinct("w").alias("vocab")))
@@ -294,7 +300,9 @@ FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
 WHERE w <> '' GROUP BY w ORDER BY n DESC, w ASC LIMIT 20
 """)
 def q13(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    from amharic_ecommerce_data_extractor_spark.operators.linking import spread
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     return (d.select(F.explode(F.split("text", " ")).alias("w"))
             .where(F.col("w") != "")
             .groupBy("w").agg(F.count("*").alias("n"))
@@ -319,7 +327,9 @@ FROM documents
 """)
 def q15(spark, sf_dir):
     # reference T4+T7 as pure column expressions (JVM whole-stage codegen)
-    d = _t(spark, sf_dir, "documents")
+    from amharic_ecommerce_data_extractor_spark.operators.linking import spread
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     clean = F.trim(F.regexp_replace(
         F.regexp_replace("text", r"https?://\S+|www\.\S+|@\w+|#\w+", " "),
         r"\s+", " "))
@@ -335,7 +345,9 @@ SELECT lang,
 FROM documents GROUP BY lang
 """)
 def q16(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    from amharic_ecommerce_data_extractor_spark.operators.linking import spread
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     non_latin = F.length(F.regexp_replace(F.lower(F.col("text")), "[a-z0-9\\s.,!?;:'\"-]", ""))
     return d.groupBy("lang").agg(
         F.sum(F.when(non_latin <= 0.05 * F.length("text"), 1).otherwise(0)).alias("n_latin"),
@@ -573,8 +585,9 @@ FROM scored GROUP BY lang
 """)
 def q28(spark, sf_dir):
     from amharic_ecommerce_data_extractor_spark.functions.textstats import quality_score
+    from amharic_ecommerce_data_extractor_spark.operators.linking import spread
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     return (d.select("lang", quality_score(F.col("text")).alias("q"))
             .groupBy("lang").agg(F.round(F.avg("q"), 4).alias("avg_quality"),
                                  F.count("*").alias("n")))
@@ -980,8 +993,10 @@ def q38(spark, sf_dir):
     from amharic_ecommerce_data_extractor_spark.operators.curation import (
         token_budget_report,
     )
+    from amharic_ecommerce_data_extractor_spark.operators.linking import spread
 
-    d = _t(spark, sf_dir, "documents").withColumn("quality", ts.quality_score(F.col("text")))
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id") \
+        .withColumn("quality", ts.quality_score(F.col("text")))
     return token_budget_report(d, text_col="text", by="source")
 
 
@@ -1319,7 +1334,11 @@ def q45(spark, sf_dir):
         spans_table,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    from amharic_ecommerce_data_extractor_spark.operators.linking import spread
+
+    # spread before the token explode: the md5-per-token label derivation
+    # below otherwise runs inside a 1-split scan stage
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
 
     def labels_for(salt: str):
