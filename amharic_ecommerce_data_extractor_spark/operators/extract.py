@@ -373,13 +373,58 @@ def extract_entities(
     array_fields = [f.name for f in fields if f.name != "preprocessed_text"]
     entity_struct = T.StructType(fields)
 
+    if backend == "rules" and hasattr(F, "arrow_udf"):
+        # Arrow-native scalar UDF (Spark 4.1+): the batch arrives as a
+        # pyarrow Array and the struct result is built as pyarrow arrays
+        # directly — no pandas Series/DataFrame construction on either side
+        # of the boundary. Factorize: preprocess + label each DISTINCT raw
+        # text once per batch (plus the cross-batch _CLEAN_CACHE /
+        # _RECORD_CACHE memos) and expand per-row by code — element-wise
+        # identical to running the chain on every row, since both kernels
+        # are pure in the text.
+        @F.arrow_udf(entity_struct)
+        def extract_arrow_udf(texts):
+            import numpy as np
+            import pyarrow as pa
+
+            tl = texts.to_pylist()
+            code_of: dict = {}
+            codes = np.empty(len(tl), dtype=np.int64)
+            uniq: list = []
+            for i, t in enumerate(tl):
+                c = code_of.get(t)
+                if c is None:
+                    c = len(uniq)
+                    code_of[t] = c
+                    uniq.append(t)
+                codes[i] = c
+            clean_u = _preprocess_unique(uniq)
+            recs_u = [lb.extract_message_cached(c, with_contact_rule=with_contact_rule)
+                      for c in clean_u]
+            arrays, names = [], []
+            if "preprocessed_text" not in drop:
+                cv = np.empty(len(clean_u), dtype=object)
+                cv[:] = clean_u
+                arrays.append(pa.array(cv[codes], type=pa.string()))
+                names.append("preprocessed_text")
+            for field in array_fields:
+                fv = np.empty(len(recs_u), dtype=object)
+                fv[:] = [r[field] for r in recs_u]
+                elem = pa.float64() if field == "price_values" else pa.string()
+                arrays.append(pa.array(fv[codes], type=pa.list_(elem)))
+                names.append(field)
+            return pa.StructArray.from_arrays(arrays, names=names)
+
+        ent = F.col("_entities")
+        return (df.withColumn("_entities", extract_arrow_udf(F.col(text_col)))
+                .select("*", *[ent[f.name].alias(f.name) for f in fields])
+                .drop("_entities"))
+
     @F.pandas_udf(entity_struct)
     def extract_udf(texts: pd.Series) -> pd.DataFrame:
         if backend == "rules":
-            # factorize: preprocess + label each DISTINCT raw text once per
-            # batch (plus the cross-batch _CLEAN_CACHE / _RECORD_CACHE memos)
-            # and expand per-row by code — element-wise identical to running
-            # the chain on every row, since both kernels are pure in the text
+            # pandas twin of the arrow_udf path above (pre-4.1 fallback) —
+            # same factorize + memo discipline, same element-wise output
             import numpy as np
 
             codes, uniques = texts.factorize(use_na_sentinel=False)

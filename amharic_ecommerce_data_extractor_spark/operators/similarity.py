@@ -237,14 +237,14 @@ def knn_lsh(
               "neighbor_id")
         .select("query_id", "neighbor_id", "query_id_vec", "neighbor_id_vec",
                 "query_id_norm", "neighbor_id_norm"))
-    scored = _cosine_rerank_arrow(joined)
+    scored = _cosine_rerank_arrow(joined, partial_topk=k)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)
             .select("query_id", "neighbor_id", "sim", "rnk"))
 
 
-def _cosine_rerank_arrow(joined: DataFrame) -> DataFrame:
+def _cosine_rerank_arrow(joined: DataFrame, partial_topk: int | None = None) -> DataFrame:
     """(query_id, neighbor_id, sim) from candidate rows carrying both vectors
     and their precomputed norms — one Arrow pass with the per-dimension
     accumulation done as vectorized numpy column ops.
@@ -256,10 +256,19 @@ def _cosine_rerank_arrow(joined: DataFrame) -> DataFrame:
     dims — so every intermediate equals the fold's intermediate and the
     final sim matches to the last bit (pinned by the DuckDB oracle, whose
     own list arithmetic is the same sequential order). The fold paid
-    ~12 µs per 64-dim pair in interpreted lambda evaluation, ~5.5 s of
-    q40's 9.4 s at sf1.0 over its 14.6M candidates; numpy pays ~2 ns per
-    multiply-add. The norms ride through untouched (JVM-computed once in
-    the checkpointed signature pass)."""
+    ~12 µs per 64-dim pair in interpreted lambda evaluation over q40's
+    14.6M sf1.0 candidates; numpy pays ~2 ns per multiply-add. The norms
+    ride through untouched (JVM-computed once in the checkpointed
+    signature pass).
+
+    partial_topk=k additionally drops, per batch, every row ranked below k
+    for its query under the EXACT total order the downstream window uses
+    (sim desc with NaN greatest — Spark's double ordering — then
+    neighbor_id asc). A row beaten by k same-query rows inside one batch is
+    beaten by k rows globally, so the global top-k the window computes is
+    unchanged while its input shrinks from every candidate to roughly
+    (queries-per-batch) × k rows — the same partial-top-k discipline as
+    knn_bruteforce."""
     def score(batches):
         import numpy as np
         import pyarrow as pa
@@ -271,8 +280,8 @@ def _cosine_rerank_arrow(joined: DataFrame) -> DataFrame:
             n = b.num_rows
             if n == 0:
                 continue
-            qid = b.column(0)
-            nid = b.column(1)
+            qid = b.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            nid = b.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
             qflat = np.asarray(b.column(2).flatten(), dtype=np.float64)
             nflat = np.asarray(b.column(3).flatten(), dtype=np.float64)
             dim = len(qflat) // n
@@ -284,8 +293,19 @@ def _cosine_rerank_arrow(joined: DataFrame) -> DataFrame:
             for d in range(dim):
                 acc = acc + qv[:, d] * nv[:, d]
             sim = acc / (qn * nn)
+            if partial_topk is not None and n > partial_topk:
+                # Spark orders doubles with NaN as the greatest value
+                key = np.where(np.isnan(sim), np.inf, sim)
+                order = np.lexsort((nid, -key, qid))
+                qs = qid[order]
+                starts = np.r_[0, np.nonzero(np.diff(qs))[0] + 1]
+                sizes = np.diff(np.r_[starts, len(order)])
+                rank = np.arange(len(order)) - np.repeat(starts, sizes)
+                keep = np.sort(order[rank < partial_topk])
+                qid, nid, sim = qid[keep], nid[keep], sim[keep]
             yield pa.RecordBatch.from_arrays(
-                [qid, nid, pa.array(sim)], schema=out_schema)
+                [pa.array(qid), pa.array(nid), pa.array(sim)],
+                schema=out_schema)
 
     return joined.mapInArrow(
         score, "query_id long, neighbor_id long, sim double")
