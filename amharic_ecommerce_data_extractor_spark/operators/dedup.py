@@ -211,26 +211,28 @@ def simhash64_md5(col):
     production default (faster JVM hash).
 
     Same single-pass shape as simhash64: md5 once per word (bound lambda
-    variable), 16 hex-digit parses per word, 64 vector adds — not 64 md5
-    evaluations per word."""
+    variable), TWO 8-hex-digit parses per word (each a 32-bit value whose
+    bits are read MSB-first with getbit — bit-for-bit the same votes as the
+    earlier 16 per-digit conv parses, at an eighth of the string-parse
+    work), 64 vector adds — not 64 md5 evaluations per word."""
     words = F.array_distinct(F.split(F.trim(F.lower(col)), r"\s+"))
     zeros = F.array_repeat(F.lit(0), 64)
-
-    def digit_votes(d):
-        # MSB-first ±1 votes of one hex digit's 4 bits
-        return F.array(*[
-            F.when(d.bitwiseAND(F.lit(k)) > 0, F.lit(1)).otherwise(F.lit(-1))
-            for k in (8, 4, 2, 1)
-        ])
 
     votes = F.aggregate(
         F.transform(words, lambda w: F.md5(w)),
         zeros,
         lambda acc, hx: F.zip_with(
             acc,
+            # chunk values bound as array ELEMENTS so each conv evaluates
+            # once per chunk (a lambda-body subexpression would re-evaluate
+            # per bit — Catalyst does not CSE across lambda bodies)
             F.flatten(F.transform(
-                F.sequence(F.lit(1), F.lit(16)),
-                lambda j: digit_votes(F.conv(F.substring(hx, j, 1), 16, 10).cast("int")),
+                F.array(F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"),
+                        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")),
+                lambda v: F.transform(
+                    F.sequence(F.lit(31), F.lit(0), F.lit(-1)),
+                    lambda j: F.when(F.getbit(v, j) == 1, F.lit(1)).otherwise(F.lit(-1)),
+                ),
             )),
             lambda a, v: a + v,
         ),
@@ -448,9 +450,19 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
         F.sequence(F.lit(1), F.col("npos")),
         lambda p: _kgram_hash(F.col("_c").substr(p, F.lit(k)), hash_fn) * pw
         + (F.lit(pw - 1) - (F.col("off") - 1 + p)))
+    # window minimum as an unrolled least() over w element lookups: same
+    # value as array_min(slice(_packed, s, w)) — packed entries are never
+    # null, try_element_at past the end (only the short-doc truncated
+    # window) yields nulls that least() skips, exactly like the truncated
+    # slice — but with no per-window array allocation
+    def _win_min(s):
+        if w == 1:
+            return F.try_element_at(F.col("_packed"), s)
+        return F.least(*[F.try_element_at(F.col("_packed"), s + j)
+                         for j in range(w)])
+
     sels = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.col("last")),
-        lambda s: F.array_min(F.slice(F.col("_packed"), s, w))))
+        F.sequence(F.lit(1), F.col("last")), _win_min))
     out = (chunks.where(F.col("last") >= 1)
            .withColumn("_packed", packed)
            .select("id", F.explode(sels).alias("m"))
