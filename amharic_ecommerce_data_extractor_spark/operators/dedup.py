@@ -30,11 +30,19 @@ from .linking import banded_candidate_pairs, connected_components, minhash_signa
 
 def word_shingles(col, n: int = 3):
     """Distinct word n-grams (space-joined) of the whitespace-split text;
-    texts shorter than n words yield one shingle (the whole text)."""
+    texts shorter than n words yield one shingle (the whole text).
+
+    The gram is built as concat_ws over n element lookups instead of
+    array_join(slice(words, i+1, n), " "): identical strings — all n
+    positions exist for every full gram, and for the short-text single
+    gram the past-the-end lookups are null, which concat_ws skips exactly
+    like the truncated slice — without allocating an n-element array per
+    gram position (same de-allocation as the winnowing window min)."""
     words = F.split(F.trim(F.lower(col)), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(words, i + j) for j in range(1, n + 1)]),
     )
     return F.array_distinct(grams)
 
