@@ -228,20 +228,110 @@ def knn_lsh(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    # rerank rejoin: vectors enter the plan here, AFTER candidate dedup —
-    # each side's (id, vec, norm) frame is the already-checkpointed base
-    joined = (
-        cand
-        .join(qbase.select("query_id", "query_id_vec", "query_id_norm"), "query_id")
-        .join(cbase.select("neighbor_id", "neighbor_id_vec", "neighbor_id_norm"),
-              "neighbor_id")
-        .select("query_id", "neighbor_id", "query_id_vec", "neighbor_id_vec",
-                "query_id_norm", "neighbor_id_norm"))
-    scored = _cosine_rerank_arrow(joined, partial_topk=k)
+    # rerank: vectors enter AFTER candidate dedup. Two physical shapes,
+    # same bit-exact sims:
+    # * broadcast lookup (small corpora): the (id, vec, norm) tables fit in
+    #   a broadcast (they are already materialized by the signature
+    #   checkpoint, so counting them is a metadata-cheap action) — the
+    #   Arrow pass then crosses ONLY the (query_id, neighbor_id) id pairs
+    #   (16 B/row) and gathers vectors from the broadcast, instead of
+    #   attaching two dim-wide vector columns to every candidate row and
+    #   converting ~2·dim·|cand| floats through Arrow (guide §8: move the
+    #   heavy bytes once — here, once per worker instead of once per pair).
+    # * join + Arrow rerank (the general path): broadcast-hash rejoins of
+    #   the id→vector frames, vectors ride the candidate rows into the
+    #   scoring pass.
+    n_corpus = cbase.count()
+    small = n_corpus <= 200_000 and (queries is corpus or qbase.count() <= 200_000)
+    if small:
+        c_rows = cbase.select("neighbor_id", "neighbor_id_vec",
+                              "neighbor_id_norm").collect()
+        if queries is corpus:
+            q_rows = c_rows
+        else:
+            q_rows = qbase.select("query_id", "query_id_vec",
+                                  "query_id_norm").collect()
+        scored = _cosine_rerank_broadcast(cand, q_rows, c_rows,
+                                          partial_topk=k)
+    else:
+        joined = (
+            cand
+            .join(qbase.select("query_id", "query_id_vec", "query_id_norm"),
+                  "query_id")
+            .join(cbase.select("neighbor_id", "neighbor_id_vec",
+                               "neighbor_id_norm"), "neighbor_id")
+            .select("query_id", "neighbor_id", "query_id_vec",
+                    "neighbor_id_vec", "query_id_norm", "neighbor_id_norm"))
+        scored = _cosine_rerank_arrow(joined, partial_topk=k)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)
             .select("query_id", "neighbor_id", "sim", "rnk"))
+
+
+def _cosine_rerank_broadcast(cand: DataFrame, q_rows, c_rows,
+                             partial_topk: int | None = None) -> DataFrame:
+    """Broadcast-lookup twin of :func:`_cosine_rerank_arrow`: candidates
+    cross the Arrow boundary as bare id pairs; vectors and norms come from
+    a broadcast of the (already materialized) signature tables. The dot is
+    the same per-dimension left-to-right float64 accumulation — bit-exact
+    against the join-shaped rerank and the original JVM fold. The collected
+    vectors are float32 widened exactly to float64, the same widening the
+    JVM cast performs."""
+    import numpy as np
+
+    def pack(rows):
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        norms = np.array([r[2] for r in rows], dtype=np.float64)
+        lookup = {int(i): j for j, i in enumerate(ids)}
+        return lookup, mat, norms
+
+    spark = cand.sparkSession
+    bq = spark.sparkContext.broadcast(pack(q_rows))
+    bc = spark.sparkContext.broadcast(pack(c_rows) if c_rows is not q_rows
+                                      else None)
+
+    def score(batches):
+        import numpy as _np
+        import pyarrow as pa
+
+        q_lookup, q_mat, q_norms = bq.value
+        cval = bc.value
+        c_lookup, c_mat, c_norms = cval if cval is not None else bq.value
+        out_schema = pa.schema([("query_id", pa.int64()),
+                                ("neighbor_id", pa.int64()),
+                                ("sim", pa.float64())])
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            qid = b.column(0).to_numpy(zero_copy_only=False).astype(_np.int64)
+            nid = b.column(1).to_numpy(zero_copy_only=False).astype(_np.int64)
+            qi = _np.fromiter((q_lookup[int(x)] for x in qid), dtype=_np.int64,
+                              count=n)
+            ci = _np.fromiter((c_lookup[int(x)] for x in nid), dtype=_np.int64,
+                              count=n)
+            qv = q_mat[qi]
+            nv = c_mat[ci]
+            acc = _np.zeros(n, dtype=_np.float64)
+            for d in range(qv.shape[1]):
+                acc = acc + qv[:, d] * nv[:, d]
+            sim = acc / (q_norms[qi] * c_norms[ci])
+            if partial_topk is not None and n > partial_topk:
+                key = _np.where(_np.isnan(sim), _np.inf, sim)
+                order = _np.lexsort((nid, -key, qid))
+                qs = qid[order]
+                starts = _np.r_[0, _np.nonzero(_np.diff(qs))[0] + 1]
+                sizes = _np.diff(_np.r_[starts, len(order)])
+                rank = _np.arange(len(order)) - _np.repeat(starts, sizes)
+                keep = _np.sort(order[rank < partial_topk])
+                qid, nid, sim = qid[keep], nid[keep], sim[keep]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qid), pa.array(nid), pa.array(sim)],
+                schema=out_schema)
+
+    return cand.mapInArrow(score, "query_id long, neighbor_id long, sim double")
 
 
 def _cosine_rerank_arrow(joined: DataFrame, partial_topk: int | None = None) -> DataFrame:
