@@ -834,7 +834,12 @@ def q47(spark, sf_dir):
 
     workdir = _scratch_dir("q47_stream_")
     try:
-        _synth(spark).write.parquet(f"{workdir}/in")
+        # sensible input file sizing (guide §6): un-coalesced, the 2000-row
+        # corpus lands as defaultParallelism (~32) files of ~60 rows and the
+        # drain pays 8 micro-batch triggers of pure fixed cost; 8 files keep
+        # a multi-trigger AvailableNow drain (2 triggers at 4 files/trigger)
+        # without the small-files tax
+        _synth(spark).coalesce(8).write.parquet(f"{workdir}/in")
         stream = read_message_stream(spark, f"{workdir}/in",
                                      max_files_per_trigger=4)
         run_stream_once(streaming_triples(stream), f"{workdir}/out",
@@ -1786,7 +1791,11 @@ def q52(spark, sf_dir):
     idx, out = None, []
     for i, b in enumerate(batches, start=1):
         kept, adds = incremental_dedup(b, idx)
-        kept = kept.localCheckpoint()
+        # no checkpoint on `kept`: only its count is consumed, and the
+        # operator already materializes the representative rows behind its
+        # own barrier — a checkpoint here stored every full-width batch row
+        # (text included) to count them. The adds tables keep theirs: each
+        # feeds the next batch's index joins AND the audit count.
         adds = IndexRows(*(getattr(adds, a).localCheckpoint()
                            for a in ("exact", "sigs", "bands")))
         out.append((i, b.count(), kept.count(), adds.bands.count()))
