@@ -126,31 +126,43 @@ def _is_num(tok: str) -> bool:
 # of the distribution under vocabulary churn (numbers/phones are the
 # long tail); entries are immutable tuples.
 #
-# classification tuple fields:
-#   (low, is_phone, is_num, bir_pieces, is_trigger, loc_kw, loc_ctx,
-#    is_product, is_descriptor)
-# bir_pieces is the precomputed rule-1b piece list when the token qualifies
-# (glued digits+'ብር'), else None.
+# classification tuple is (flags, low, bir_pieces): flags is a bitmask of the
+# predicate bits below (one int test in the walker instead of a 9-way tuple
+# unpack per token); bir_pieces is the precomputed rule-1b piece list when the
+# token qualifies (glued digits+'ብር'), else None.
 # ---------------------------------------------------------------------------
+
+_PHONE, _NUM_F, _PIECES, _TRIG, _LOCKW, _LOCCTX, _PROD, _DESC = (
+    1, 2, 4, 8, 16, 32, 64, 128)
+# bits that can START a rule at the walker cursor; a token with none of them
+# (the common case) is labeled 'O' with a single AND — LOCCTX/DESC only
+# matter as run continuations, which test cls[j] inside the run loops.
+_RULE_MASK = _PHONE | _NUM_F | _PIECES | _TRIG | _LOCKW | _PROD
 
 
 @lru_cache(maxsize=1 << 17)
 def _classify(tok: str) -> tuple:
     low = tok.lower()
+    flags = 0
     pieces = None
     if "ብር" in low and _HAS_DIGIT_RE.search(tok):
         pieces = tuple(p for p in _NUM_SPLIT_RE.split(tok) if p)
-    return (
-        low,
-        _PHONE_RE.match(tok) is not None,
-        _NUM_RE.match(tok) is not None,
-        pieces,
-        low in PRICE_TRIGGERS,
-        _LOC_KW_RE.search(tok) is not None,
-        low in LOCATION_CONTEXT_WORDS,
-        low in ENGLISH_PRODUCT_INDICATORS or low in AMHARIC_PRODUCT_INDICATORS,
-        low in PRODUCT_DESCRIPTORS,
-    )
+        flags |= _PIECES
+    if _PHONE_RE.match(tok) is not None:
+        flags |= _PHONE
+    if _NUM_RE.match(tok) is not None:
+        flags |= _NUM_F
+    if low in PRICE_TRIGGERS:
+        flags |= _TRIG
+    if _LOC_KW_RE.search(tok) is not None:
+        flags |= _LOCKW
+    if low in LOCATION_CONTEXT_WORDS:
+        flags |= _LOCCTX
+    if low in ENGLISH_PRODUCT_INDICATORS or low in AMHARIC_PRODUCT_INDICATORS:
+        flags |= _PROD
+    if low in PRODUCT_DESCRIPTORS:
+        flags |= _DESC
+    return (flags, low, pieces)
 
 
 def label_tokens(tokens: list[str], with_contact_rule: bool = True) -> list[tuple[str, str]]:
@@ -170,24 +182,31 @@ def label_tokens(tokens: list[str], with_contact_rule: bool = True) -> list[tupl
     i = 0
     while i < n:
         tok = tokens[i]
-        low, is_phone, is_num, bir_pieces, is_trig, loc_kw, _loc_ctx, is_prod, _desc = cls[i]
+        c = cls[i]
+        flags = c[0]
+
+        # common case first: no rule can start here → 'O' on one AND
+        if not flags & _RULE_MASK:
+            append((tok, "O"))
+            i += 1
+            continue
 
         # Rule 0 (extension): phone-shaped token → contact info
-        if with_contact_rule and is_phone:
+        if with_contact_rule and flags & _PHONE:
             append((tok, "B-CONTACT_INFO"))
             i += 1
             continue
 
         # Rule 1a: bare number followed by 'ብር'
-        if is_num and i + 1 < n and cls[i + 1][0] == "ብር":
+        if flags & _NUM_F and i + 1 < n and cls[i + 1][1] == "ብር":
             append((tok, "B-PRICE"))
             append((tokens[i + 1], "I-PRICE"))
             i += 2
             continue
 
         # Rule 1b: glued digits+'ብር' inside one token (e.g. '550ብር')
-        if bir_pieces is not None:
-            for piece in bir_pieces:
+        if flags & _PIECES:
+            for piece in c[2]:
                 if _is_num(piece):
                     starts = not seq or seq[-1][1] == "O"
                     append((piece, "B-PRICE" if starts else "I-PRICE"))
@@ -199,13 +218,13 @@ def label_tokens(tokens: list[str], with_contact_rule: bool = True) -> list[tupl
             continue
 
         # Rule 1c: price trigger word, with number (+ 'ብር') lookahead
-        if is_trig:
+        if flags & _TRIG:
             append((tok, "B-PRICE"))
             i += 1
-            if i < n and cls[i][2]:
+            if i < n and cls[i][0] & _NUM_F:
                 append((tokens[i], "I-PRICE"))
                 i += 1
-                if i < n and cls[i][0] == "ብር":
+                if i < n and cls[i][1] == "ብር":
                     append((tokens[i], "I-PRICE"))
                     i += 1
             continue
@@ -214,14 +233,14 @@ def label_tokens(tokens: list[str], with_contact_rule: bool = True) -> list[tupl
         # alternation scan, equivalent to any(kw in tok)) + greedy
         # continuation (with the contact extension on, phone-shaped tokens
         # terminate the run instead of being consumed as location numbers)
-        if loc_kw:
+        if flags & _LOCKW:
             j = i
             run: list[str] = []
             while j < n:
-                cj = cls[j]
-                if with_contact_rule and cj[1]:
+                fj = cls[j][0]
+                if with_contact_rule and fj & _PHONE:
                     break
-                if cj[5] or cj[2] or cj[6]:
+                if fj & (_LOCKW | _NUM_F | _LOCCTX):
                     run.append(tokens[j])
                     j += 1
                 else:
@@ -233,14 +252,14 @@ def label_tokens(tokens: list[str], with_contact_rule: bool = True) -> list[tupl
                 continue
 
         # Rule 3: product gazetteer hit (exact lower match) + descriptor run
-        if is_prod:
+        if flags & _PROD:
             j = i + 1
             run = [tok]
             while j < n:
-                cj = cls[j]
-                if with_contact_rule and cj[1]:
+                fj = cls[j][0]
+                if with_contact_rule and fj & _PHONE:
                     break
-                if cj[7] or cj[2] or cj[8]:
+                if fj & (_PROD | _NUM_F | _DESC):
                     run.append(tokens[j])
                     j += 1
                 else:

@@ -255,16 +255,28 @@ def _nfc_if_needed(x: str) -> str:
     return x if unicodedata.is_normalized("NFC", x) else unicodedata.normalize("NFC", x)
 
 
+# * the char-variant fold commutes past geez / url / mention+hashtag /
+#   non-Amharic-strip: it maps single Ethiopic LETTERS to Ethiopic letters,
+#   and every character class those passes consult is closed under that map
+#   (letters stay \w, stay \S, stay inside ሀ-፿; none of the pass patterns
+#   name a folded letter literally, and geez keys/values are numerals/digits
+#   the fold never touches). Moving the fold after the strips lets it fuse
+#   with the punctuation fold into ONE translate pass (key sets disjoint:
+#   letters vs punctuation). The punctuation fold itself must NOT move before
+#   the url strip ('!'→'.' would turn 'www!x' into a strippable URL), which
+#   is why the fusion point is here and not at the chain head.
+_FOLD_TABLE: dict[int, str] = {**_CHAR_TABLE, **_PUNCT_TABLE}
+
+
 def preprocess_series(s: pd.Series, remove_stopwords: bool = False) -> pd.Series:
     """Vectorized full chain; same output as preprocess_text element-wise."""
     out = _as_clean_str_series(s)
     out = out.map(_nfc_if_needed)
-    out = out.str.translate(_CHAR_TABLE)
     out = out.str.replace(_GEEZ_RE, lambda m: _GEEZ_MAP[m.group(0)], regex=True)
     out = out.str.replace(_URL_RE, " ", regex=True)
     out = out.str.replace(_MENTION_HASHTAG_RE, " ", regex=True)
     out = out.str.replace(_NON_AM_ASCII_RE, " ", regex=True)
-    out = out.str.translate(_PUNCT_TABLE)
+    out = out.str.translate(_FOLD_TABLE)
     out = out.str.replace(_PUNCT_RUN_RE, r"\1", regex=True)
     out = out.str.replace(_PUNCT_PAIR_RE, r"\1", regex=True).str.strip()
     out = out.str.replace(_WS_RE, " ", regex=True).str.strip()

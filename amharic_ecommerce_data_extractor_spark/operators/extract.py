@@ -384,34 +384,28 @@ def extract_entities(
         # are pure in the text.
         @F.arrow_udf(entity_struct)
         def extract_arrow_udf(texts):
-            import numpy as np
             import pyarrow as pa
+            import pyarrow.compute as pc
 
-            tl = texts.to_pylist()
-            code_of: dict = {}
-            codes = np.empty(len(tl), dtype=np.int64)
-            uniq: list = []
-            for i, t in enumerate(tl):
-                c = code_of.get(t)
-                if c is None:
-                    c = len(uniq)
-                    code_of[t] = c
-                    uniq.append(t)
-                codes[i] = c
+            # factorize in C (null_encoding='encode' keeps None a dictionary
+            # entry, matching the Python-dict factorize this replaces), run
+            # the kernels on the uniques only, and expand per-row with
+            # pc.take — so the Python→Arrow conversion of the result lists
+            # also happens once per DISTINCT text, not once per row.
+            enc = pc.dictionary_encode(texts, null_encoding="encode")
+            codes = enc.indices
+            uniq = enc.dictionary.to_pylist()
             clean_u = _preprocess_unique(uniq)
             recs_u = [lb.extract_message_cached(c, with_contact_rule=with_contact_rule)
                       for c in clean_u]
             arrays, names = [], []
             if "preprocessed_text" not in drop:
-                cv = np.empty(len(clean_u), dtype=object)
-                cv[:] = clean_u
-                arrays.append(pa.array(cv[codes], type=pa.string()))
+                arrays.append(pc.take(pa.array(clean_u, type=pa.string()), codes))
                 names.append("preprocessed_text")
             for field in array_fields:
-                fv = np.empty(len(recs_u), dtype=object)
-                fv[:] = [r[field] for r in recs_u]
                 elem = pa.float64() if field == "price_values" else pa.string()
-                arrays.append(pa.array(fv[codes], type=pa.list_(elem)))
+                u_arr = pa.array([r[field] for r in recs_u], type=pa.list_(elem))
+                arrays.append(pc.take(u_arr, codes))
                 names.append(field)
             return pa.StructArray.from_arrays(arrays, names=names)
 
