@@ -127,6 +127,103 @@ def simhash_signature(vec_col, planes: list[list[float]]):
     return F.array_join(bits, "")
 
 
+def _signed_arrow(df: DataFrame, id_col: str, vec_col: str, idn: str,
+                  planes: list[list[float]]) -> DataFrame:
+    """Arrow twin of the ``signed()`` projection in :func:`knn_lsh`: one
+    ``mapInArrow`` pass emits (id, vec, norm, signature) with BIT-IDENTICAL
+    values to the interpreted JVM fold it replaces (which paid ~4096
+    interpreted lambda steps per row for the n_planes×dim signature alone):
+
+    * dots and the squared norm accumulate PER DIMENSION, left-to-right, in
+      float64 — vectorized over rows, same IEEE-754 sequence as
+      ``aggregate(zip_with(...))`` / :func:`_norm` (the discipline
+      established by ``_cosine_rerank_arrow``).
+    * Spark orders NaN greater than any number, so ``NaN >= 0`` is TRUE in
+      the JVM ``when`` — the sign bits OR in ``isnan``.
+    * degenerate rows get the JVM result exactly: a null vector or a null
+      element nulls both folds ('0' for every sign bit, null norm); a
+      length ≠ dim nulls only the zip_with dot ('0' bits) while the norm
+      still sums the row's own squares (``_norm`` never references dim —
+      an empty list has norm 0.0).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    n_planes = len(planes)
+    dim = len(planes[0])
+    pmat = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+    in_schema = df.select(F.col(id_col), F.col(vec_col)).schema
+    id_t, vec_t = in_schema[0].dataType.simpleString(), in_schema[1].dataType.simpleString()
+    out_ddl = (f"{idn} {id_t}, {idn}_vec {vec_t}, "
+               f"{idn}_norm double, _sig string")
+
+    def compute(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids, vecs = b.column(0), b.column(1)
+            row_valid = np.asarray(vecs.is_valid(), dtype=bool)
+            len_np = pa.compute.list_value_length(vecs) \
+                .fill_null(-1).to_numpy(zero_copy_only=False)
+            flat = vecs.flatten()
+            # no_null_elems: the row itself and all its elements are
+            # non-null (a null anywhere nulls both JVM folds)
+            no_null_elems = row_valid.copy()
+            if not np.asarray(flat.is_valid(), dtype=bool).all():
+                counts = np.where(len_np > 0, len_np, 0)
+                offs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(counts, out=offs[1:])
+                fv = np.asarray(flat.is_valid(), dtype=bool)
+                nonnull = np.array([fv[offs[i]:offs[i + 1]].sum()
+                                    for i in range(n)], dtype=np.int64)
+                no_null_elems &= nonnull == np.maximum(counts, 0)
+            # vectorized set: clean rows of exactly dim elements
+            ok = no_null_elems & (len_np == dim)
+            # norm-eligible: any clean row, regardless of length (the JVM
+            # _norm sums the row's own squares; only nulls null it)
+            norm_ok = no_null_elems
+
+            sig_bytes = np.full((n, n_planes), ord("0"), dtype=np.uint8)
+            norms = np.full(n, np.nan, dtype=np.float64)
+            ragged = np.flatnonzero(norm_ok & ~ok)
+            vl = vecs.to_pylist() if (ragged.size or
+                                      (ok.any() and not ok.all())) else None
+            if ok.any():
+                if ok.all():
+                    mat = np.asarray(flat.to_numpy(zero_copy_only=False),
+                                     dtype=np.float64).reshape(n, dim)
+                    sel = slice(None)
+                else:
+                    sel = np.flatnonzero(ok)
+                    mat = np.asarray([vl[i] for i in sel], dtype=np.float64)
+                m = mat.shape[0]
+                acc = np.zeros((m, n_planes), dtype=np.float64)
+                nacc = np.zeros(m, dtype=np.float64)
+                for d in range(dim):
+                    xd = mat[:, d]
+                    acc += xd[:, None] * pmat[:, d][None, :]
+                    nacc += xd * xd
+                bits = (acc >= 0.0) | np.isnan(acc)
+                sig_bytes[sel] = np.where(bits, ord("1"), ord("0")).astype(np.uint8)
+                norms[sel] = np.sqrt(nacc)
+            for i in ragged:  # rare: clean row, len != dim — norm only
+                a = 0.0
+                for x in vl[i]:
+                    a += x * x
+                norms[i] = np.sqrt(a)
+            sigs = pa.array(
+                np.frombuffer(np.ascontiguousarray(sig_bytes).tobytes(),
+                              dtype=f"S{n_planes}").astype("U"),
+                type=pa.string())
+            norm_arr = pa.array(norms, type=pa.float64(), mask=~norm_ok)
+            yield pa.RecordBatch.from_arrays(
+                [ids, vecs, norm_arr, sigs],
+                names=[idn, f"{idn}_vec", f"{idn}_norm", "_sig"])
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInArrow(compute, out_ddl)
+
+
 def _planes(n_planes: int, dim: int, seed: int = 42,
             plane_fn: str = "gauss") -> list[list[float]]:
     """Random hyperplanes for SimHash bucketing.
@@ -182,19 +279,18 @@ def knn_lsh(
     planes = _planes(n_bands * bits_per_band, dim, seed, plane_fn)
 
     def signed(df: DataFrame, idn: str) -> DataFrame:
-        # full signature + norm computed ONCE per row, then materialized
-        # (localCheckpoint = optimizer barrier, same discipline as
-        # linking.lsh_candidate_pairs) so the per-band substring slicing
-        # cannot re-inline the 64-dot-product subtree once per band.
+        # full signature + norm computed ONCE per row via the vectorized
+        # Arrow pass (bit-identical to the interpreted JVM fold — see
+        # _signed_arrow), then materialized (localCheckpoint = optimizer
+        # barrier, same discipline as linking.lsh_candidate_pairs) so the
+        # downstream band slicing, rerank rejoin and count consumers reuse
+        # the one Python-stage execution instead of re-running it.
         # eager=False: the barrier materializes at first action, so merely
         # BUILDING the plan stays side-effect free.
         from .linking import spread
 
-        sig = simhash_signature(F.col(vec_col), planes)
-        return spread(df, id_col).select(
-            F.col(id_col).alias(idn), F.col(vec_col).alias(f"{idn}_vec"),
-            _norm(F.col(vec_col)).alias(f"{idn}_norm"),
-            sig.alias("_sig")).localCheckpoint(eager=False)
+        return _signed_arrow(spread(df, id_col), id_col, vec_col, idn,
+                             planes).localCheckpoint(eager=False)
 
     def with_bands(base: DataFrame, idn: str) -> DataFrame:
         # ids-only: the exploded frame (and everything downstream until the
@@ -489,15 +585,85 @@ def ivf_assign(df: DataFrame, centroids, id_col: str = "vec_id",
     """One (id, vec, cell) row per input row — cell = nearest centroid.
 
     spread() first (statically gated, identity on well-partitioned input):
-    the per-row work is |cells| interpreted dim-wide dot products, and a
-    small-but-dense corpus arriving as one scan split would otherwise run
+    a small-but-dense corpus arriving as one scan split would otherwise run
     the whole assignment on one core (measured: q39 at sf1.0 drops
-    10.8 s → 3.7 s from this change alone)."""
+    10.8 s → 3.7 s from this change alone).
+
+    The per-row work — |cells| dim-wide cosine dots and the
+    ``array_max``-over-structs argmax — runs as one Arrow pass with
+    BIT-IDENTICAL results to the interpreted ``_cell_sims`` fold it
+    replaces: dots and the norm accumulate per dimension left-to-right in
+    float64 (the ``_cosine_rerank_arrow`` discipline); the winning cell is
+    the LAST index achieving the maximum sim (struct ties break on the
+    larger cell field) with NaN sims ordered greatest (Spark float
+    ordering); degenerate rows (null vector / null element / length ≠ dim)
+    null every sim, and the max of all-(null sim) structs is the last cell.
+    """
+    import numpy as np
+    import pyarrow as pa
+
     from .linking import spread
 
-    best = F.array_max(_cell_sims(F.col(vec_col), centroids))
-    return spread(df, id_col).select(F.col(id_col), F.col(vec_col),
-                                     best["cell"].alias("cell"))
+    n_cells = len(centroids)
+    dim = len(centroids[0])
+    cmat = np.asarray(centroids, dtype=np.float64)  # (n_cells, dim)
+    base = spread(df, id_col).select(F.col(id_col), F.col(vec_col))
+    in_schema = base.schema
+    id_t, vec_t = (in_schema[0].dataType.simpleString(),
+                   in_schema[1].dataType.simpleString())
+    out_ddl = f"{id_col} {id_t}, {vec_col} {vec_t}, cell int"
+
+    def assign(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids, vecs = b.column(0), b.column(1)
+            row_valid = np.asarray(vecs.is_valid(), dtype=bool)
+            len_np = pa.compute.list_value_length(vecs) \
+                .fill_null(-1).to_numpy(zero_copy_only=False)
+            flat = vecs.flatten()
+            ok = row_valid & (len_np == dim)
+            if not np.asarray(flat.is_valid(), dtype=bool).all():
+                counts = np.where(len_np > 0, len_np, 0)
+                offs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(counts, out=offs[1:])
+                fv = np.asarray(flat.is_valid(), dtype=bool)
+                nonnull = np.array([fv[offs[i]:offs[i + 1]].sum()
+                                    for i in range(n)], dtype=np.int64)
+                ok &= nonnull == dim
+            best = np.full(n, n_cells - 1, dtype=np.int32)
+            if ok.any():
+                if ok.all():
+                    mat = np.asarray(flat.to_numpy(zero_copy_only=False),
+                                     dtype=np.float64).reshape(n, dim)
+                    sel = slice(None)
+                else:
+                    sel = np.flatnonzero(ok)
+                    vl = vecs.to_pylist()
+                    mat = np.asarray([vl[i] for i in sel], dtype=np.float64)
+                m = mat.shape[0]
+                acc = np.zeros((m, n_cells), dtype=np.float64)
+                nacc = np.zeros(m, dtype=np.float64)
+                for d in range(dim):
+                    xd = mat[:, d]
+                    acc += xd[:, None] * cmat[:, d][None, :]
+                    nacc += xd * xd
+                sims = acc / np.sqrt(nacc)[:, None]
+                nanm = np.isnan(sims)
+                k1 = np.where(nanm, -np.inf, sims)
+                # last argmax = struct-ordering tie-break (larger cell)
+                b_sel = (n_cells - 1) - np.argmax(k1[:, ::-1], axis=1)
+                any_nan = nanm.any(axis=1)
+                if any_nan.any():
+                    for i in np.flatnonzero(any_nan):
+                        b_sel[i] = np.flatnonzero(nanm[i]).max()
+                best[sel] = b_sel.astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [ids, vecs, pa.array(best, type=pa.int32())],
+                names=[id_col, vec_col, "cell"])
+
+    return base.mapInArrow(assign, out_ddl)
 
 
 def ivf_index_write(corpus: DataFrame, centroids, path: str,
@@ -541,13 +707,16 @@ def knn_ivf_indexed(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_norm"),
         F.explode(F.transform(probes, lambda p: p["cell"])).alias("cell"))
-    pairs = (q.join(c, "cell")
-             .where(F.col("query_id") != F.col("neighbor_id"))
-             .select("query_id", "neighbor_id",
-                     (_dot(F.col("q_vec"), F.col("c_vec"))
-                      / (F.col("q_norm") * F.col("c_norm"))).alias("sim")))
+    # in-bucket rerank through the vectorized Arrow scorer (bit-identical
+    # sims + partial top-k; same discipline as knn_lsh) instead of one
+    # interpreted dim-wide fold per candidate pair
+    joined = (q.join(c, "cell")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id", "q_vec", "c_vec",
+                      "q_norm", "c_norm"))
+    scored = _cosine_rerank_arrow(joined, partial_topk=k)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (pairs.withColumn("rnk", F.row_number().over(w))
+    return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)
             .select("query_id", "neighbor_id", "sim", "rnk"))
 
@@ -572,12 +741,15 @@ def knn_ivf(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_norm"),
         F.explode(F.transform(probes, lambda p: p["cell"])).alias("cell"))
-    pairs = (q.join(c, "cell")
-             .where(F.col("query_id") != F.col("neighbor_id"))
-             .select("query_id", "neighbor_id",
-                     (_dot(F.col("q_vec"), F.col("c_vec"))
-                      / (F.col("q_norm") * F.col("c_norm"))).alias("sim")))
+    # in-bucket rerank through the vectorized Arrow scorer (bit-identical
+    # sims + partial top-k; same discipline as knn_lsh) instead of one
+    # interpreted dim-wide fold per candidate pair
+    joined = (q.join(c, "cell")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id", "q_vec", "c_vec",
+                      "q_norm", "c_norm"))
+    scored = _cosine_rerank_arrow(joined, partial_topk=k)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (pairs.withColumn("rnk", F.row_number().over(w))
+    return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)
             .select("query_id", "neighbor_id", "sim", "rnk"))
