@@ -37,14 +37,26 @@ def word_shingles(col, n: int = 3):
     positions exist for every full gram, and for the short-text single
     gram the past-the-end lookups are null, which concat_ws skips exactly
     like the truncated slice — without allocating an n-element array per
-    gram position (same de-allocation as the winnowing window min)."""
+    gram position (same de-allocation as the winnowing window min).
+
+    The words array is LET-BOUND through a single-element outer transform
+    (Catalyst has no CSE inside interpreted lambda bodies, so referencing
+    the split expression directly in the gram lambda re-lowered and
+    re-split the WHOLE text for every element lookup — O(words ·
+    text_len) per row, measured 7.0 s → 0.25 s for the sf0.1 documents
+    scan). A bound lambda variable is an O(1) slot read; output is
+    byte-identical."""
     words = F.split(F.trim(F.lower(col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.try_element_at(words, i + j) for j in range(1, n + 1)]),
-    )
-    return F.array_distinct(grams)
+
+    def grams(w):
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(w, i + j) for j in range(1, n + 1)]),
+        )
+
+    return F.array_distinct(
+        F.element_at(F.transform(F.array(words), grams), 1))
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
