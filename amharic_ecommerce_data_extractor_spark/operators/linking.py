@@ -140,13 +140,22 @@ def narrow_scan_splits(df: DataFrame, stop_at: int | None = None) -> int | None:
 
 def char_shingles(col, n: int = 3):
     """Distinct character n-grams of lower(trim(col)); strings shorter than n
-    yield the whole string as a single shingle."""
+    yield the whole string as a single shingle.
+
+    The normalized string is LET-BOUND through a single-element outer
+    transform (same idiom as dedup.word_shingles): Catalyst has no CSE
+    inside interpreted lambda bodies, so referencing the lower/trim
+    expression in the gram lambda re-normalized the whole string once per
+    gram position. Output is byte-identical."""
     s = F.lower(F.trim(col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1))),
-        lambda i: F.substring(s, i, n),
-    )
-    return F.array_distinct(grams)
+
+    def grams(sb):
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(sb) - (n - 1), F.lit(1))),
+            lambda i: F.substring(sb, i, n),
+        )
+
+    return F.array_distinct(F.element_at(F.transform(F.array(s), grams), 1))
 
 
 # universal-hash family for the cross-engine MinHash variant:
@@ -183,10 +192,22 @@ def minhash_signature(shingles_col, num_hashes: int = 16, hash_fn: str = "xxhash
       per (shingle, seed).
     """
     if hash_fn == "xxhash64":
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.array_min(F.transform(shingles_col, lambda sh: F.xxhash64(sh, i))),
-        )
+        # let-bind the shingles array: callers' projections collapse into
+        # this expression (CollapseProject), so a direct reference inside
+        # the per-seed lambda would re-evaluate the whole shingle-building
+        # chain once per seed (num_hashes times per row). Binding through a
+        # single-element outer transform evaluates it once; per-seed passes
+        # then read a bound lambda variable. Byte-identical output,
+        # including null/empty shingle arrays (the inner expression tree is
+        # unchanged).
+        def sig(sh):
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.array_min(
+                    F.transform(sh, lambda s: F.xxhash64(s, i))),
+            )
+
+        return F.element_at(F.transform(F.array(shingles_col), sig), 1)
     if hash_fn != "md5":
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     ab = minhash_seed_constants(num_hashes)
